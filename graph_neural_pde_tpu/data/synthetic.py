@@ -1,0 +1,86 @@
+"""Synthetic node-classification datasets (tests, benchmarks, zero-egress runs).
+
+A stochastic block model with class-correlated Gaussian features, sized and
+split like the citation benchmarks (20 train nodes per class, 500 val, rest
+test — the planetoid convention the reference loads from disk). Used where
+the real datasets are unavailable and for throughput benchmarking at
+arbitrary scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from graph_neural_pde_tpu.ops.graph import Graph, make_graph
+
+
+@dataclass
+class NodeDataset:
+    """Host-side dataset container (device arrays)."""
+
+    graph: Graph
+    x: jnp.ndarray
+    y: jnp.ndarray
+    train_mask: jnp.ndarray
+    val_mask: jnp.ndarray
+    test_mask: jnp.ndarray
+    num_classes: int
+    num_features: int
+    name: str = "synthetic"
+    pos_encoding: Optional[jnp.ndarray] = None
+
+
+def make_sbm_dataset(num_nodes=120, num_classes=3, num_features=16,
+                     avg_degree=8, homophily=0.85, train_per_class=20,
+                     num_val=30, seed=0, edge_pad_multiple=64) -> NodeDataset:
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, num_classes, size=num_nodes)
+
+    # class-mean features + noise
+    means = rng.normal(scale=2.0, size=(num_classes, num_features))
+    x = means[y] + rng.normal(size=(num_nodes, num_features))
+
+    # SBM edges: sample pairs, keep intra-class with prob homophily
+    target_edges = num_nodes * avg_degree // 2
+    rows, cols = [], []
+    trials = 0
+    while len(rows) < target_edges and trials < 50 * target_edges:
+        u, v = rng.integers(0, num_nodes, size=2)
+        trials += 1
+        if u == v:
+            continue
+        same = y[u] == y[v]
+        p = homophily if same else (1.0 - homophily)
+        if rng.random() < p:
+            rows.append(u)
+            cols.append(v)
+    row = np.array(rows + cols, np.int32)   # undirected: both directions
+    col = np.array(cols + rows, np.int32)
+
+    train_mask = np.zeros(num_nodes, bool)
+    for c in range(num_classes):
+        idx = np.where(y == c)[0]
+        rng.shuffle(idx)
+        train_mask[idx[:train_per_class]] = True
+    remaining = np.where(~train_mask)[0]
+    rng.shuffle(remaining)
+    val_mask = np.zeros(num_nodes, bool)
+    val_mask[remaining[:num_val]] = True
+    test_mask = ~(train_mask | val_mask)
+
+    g = make_graph(row, col, num_nodes=num_nodes,
+                   pad_multiple=edge_pad_multiple)
+    return NodeDataset(
+        graph=g,
+        x=jnp.asarray(x, jnp.float32),
+        y=jnp.asarray(y, jnp.int32),
+        train_mask=jnp.asarray(train_mask),
+        val_mask=jnp.asarray(val_mask),
+        test_mask=jnp.asarray(test_mask),
+        num_classes=num_classes,
+        num_features=num_features,
+    )

@@ -1,0 +1,174 @@
+"""Graph attention layers computed over padded edge arrays.
+
+TPU-native re-design of the reference's sparse attention:
+  * ``transformer_attention``  — SpGraphTransAttentionLayer
+    (/root/reference/src/function_transformer_attention.py:59-214): multihead
+    Q/K/V with four score types (scaled_dot, cosine_sim, pearson, exp_kernel)
+    and the BLEND Beltrami split-space exp_kernel over (feature, positional)
+    channels; softmax or squareplus normalisation over edge[attention_norm_idx].
+  * ``gat_attention`` — SpGraphAttentionLayer
+    (/root/reference/src/function_GAT_attention.py:71-115).
+
+All scores are computed for every padded edge slot in one fused batch of
+gathers + MXU matmuls; the per-destination normalisation is a masked segment
+softmax — replacing PyG's scatter-softmax CUDA kernel.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from graph_neural_pde_tpu.config import Config
+from graph_neural_pde_tpu.ops.graph import Graph
+from graph_neural_pde_tpu.ops.scatter import segment_softmax, segment_squareplus
+from graph_neural_pde_tpu.models.layers import linear_apply, linear_init
+
+
+def _heads(x: jax.Array, h: int, d_k: int) -> jax.Array:
+    """[N, h*d_k] -> [N, h, d_k] (contiguous per-head slices, matching the
+    reference's view(-1, h, d_k) before its transpose)."""
+    return x.reshape(x.shape[0], h, d_k)
+
+
+def init_transformer_attention(key, cfg: Config, in_dim: int):
+    h = cfg.heads
+    att_dim = cfg.attention_dim
+    assert att_dim % h == 0, (
+        f"Number of heads ({h}) must be a factor of the dimension size ({att_dim})")
+    d_k = att_dim // h
+    keys = jax.random.split(key, 8)
+    p = {}
+    if cfg.beltrami and cfg.attention_type == "exp_kernel":
+        feat_dim = in_dim - cfg.pos_enc_hidden_dim
+        p["output_var_x"] = jnp.ones((1,))
+        p["lengthscale_x"] = jnp.ones((1,))
+        p["output_var_p"] = jnp.ones((1,))
+        p["lengthscale_p"] = jnp.ones((1,))
+        p["Qx"] = linear_init(keys[0], feat_dim, att_dim, "const1e-5")
+        p["Vx"] = linear_init(keys[1], feat_dim, att_dim, "const1e-5")
+        p["Kx"] = linear_init(keys[2], feat_dim, att_dim, "const1e-5")
+        p["Qp"] = linear_init(keys[3], cfg.pos_enc_hidden_dim, att_dim, "const1e-5")
+        p["Vp"] = linear_init(keys[4], cfg.pos_enc_hidden_dim, att_dim, "const1e-5")
+        p["Kp"] = linear_init(keys[5], cfg.pos_enc_hidden_dim, att_dim, "const1e-5")
+    else:
+        if cfg.attention_type == "exp_kernel":
+            p["output_var"] = jnp.ones((1,))
+            p["lengthscale"] = jnp.ones((1,))
+        p["Q"] = linear_init(keys[0], in_dim, att_dim, "const1e-5")
+        p["V"] = linear_init(keys[1], in_dim, att_dim, "const1e-5")
+        p["K"] = linear_init(keys[2], in_dim, att_dim, "const1e-5")
+    p["Wout"] = linear_init(keys[6], d_k, in_dim, "const1e-5")
+    return p
+
+
+def _scores(cfg: Config, src: jax.Array, dst: jax.Array, d_k: int,
+            params) -> jax.Array:
+    """Per-edge, per-head raw scores [E, H] from gathered q/k [E, H, d_k]."""
+    at = cfg.attention_type
+    if at == "exp_kernel":
+        var = params["output_var"]
+        ls = params["lengthscale"]
+        sq = jnp.sum((src - dst) ** 2, axis=-1)
+        return var ** 2 * jnp.exp(-sq / (2.0 * ls ** 2))
+    if at == "scaled_dot":
+        return jnp.sum(src * dst, axis=-1) / math.sqrt(d_k)
+    if at == "cosine_sim":
+        eps = 1e-5
+        num = jnp.sum(src * dst, axis=-1)
+        den = jnp.maximum(jnp.linalg.norm(src, axis=-1), eps) * \
+            jnp.maximum(jnp.linalg.norm(dst, axis=-1), eps)
+        return num / den
+    if at == "pearson":
+        src_c = src - jnp.mean(src, axis=-1, keepdims=True)
+        dst_c = dst - jnp.mean(dst, axis=-1, keepdims=True)
+        eps = 1e-5
+        num = jnp.sum(src_c * dst_c, axis=-1)
+        den = jnp.maximum(jnp.linalg.norm(src_c, axis=-1), eps) * \
+            jnp.maximum(jnp.linalg.norm(dst_c, axis=-1), eps)
+        return num / den
+    raise ValueError(f"unknown attention_type '{at}'")
+
+
+def apply_transformer_attention(params, cfg: Config, x: jax.Array, g: Graph,
+                                edge_weight: Optional[jax.Array] = None):
+    """Returns (attention [E, H], values [N, H, d_k] | None).
+
+    x may be [features ‖ positional ‖ labels] in the Beltrami regime
+    (function_transformer_attention.py:128-171).
+    """
+    h = cfg.heads
+    d_k = cfg.attention_dim // h
+
+    if cfg.beltrami and cfg.attention_type == "exp_kernel":
+        label_index = cfg.feat_hidden_dim + cfg.pos_enc_hidden_dim
+        pos = x[:, cfg.feat_hidden_dim:label_index]
+        feat = jnp.concatenate([x[:, :cfg.feat_hidden_dim], x[:, label_index:]],
+                               axis=1)
+        qx = _heads(linear_apply(params["Qx"], feat), h, d_k)
+        kx = _heads(linear_apply(params["Kx"], feat), h, d_k)
+        qp = _heads(linear_apply(params["Qp"], pos), h, d_k)
+        kp = _heads(linear_apply(params["Kp"], pos), h, d_k)
+        sx = jnp.sum((qx[g.row] - kx[g.col]) ** 2, axis=-1)
+        sp = jnp.sum((qp[g.row] - kp[g.col]) ** 2, axis=-1)
+        prods = (params["output_var_x"] ** 2
+                 * jnp.exp(-sx / (2.0 * params["lengthscale_x"] ** 2))
+                 * params["output_var_p"] ** 2
+                 * jnp.exp(-sp / (2.0 * params["lengthscale_p"] ** 2)))
+        v = None
+    else:
+        q = _heads(linear_apply(params["Q"], x), h, d_k)
+        k = _heads(linear_apply(params["K"], x), h, d_k)
+        v = _heads(linear_apply(params["V"], x), h, d_k)
+        prods = _scores(cfg, q[g.row], k[g.col], d_k, params)
+
+    if cfg.reweight_attention and edge_weight is not None:
+        prods = prods * edge_weight[:, None]
+
+    norm_index = g.row if cfg.attention_norm_idx == 0 else g.col
+    if cfg.square_plus:
+        attention = segment_squareplus(prods, norm_index, g.num_nodes, g.mask)
+    else:
+        attention = segment_softmax(prods, norm_index, g.num_nodes, g.mask)
+    return attention, v
+
+
+# ---------------------------------------------------------------------------
+# GAT attention
+# ---------------------------------------------------------------------------
+
+def init_gat_attention(key, cfg: Config, in_dim: int):
+    h = cfg.heads
+    att_dim = cfg.attention_dim
+    assert att_dim % h == 0, "Number of heads must be a factor of the dimension size"
+    d_k = att_dim // h
+    k1, k2, k3 = jax.random.split(key, 3)
+    std_w = 1.414 * math.sqrt(2.0 / (in_dim + att_dim))
+    std_wo = 1.414 * math.sqrt(2.0 / (att_dim + in_dim))
+    std_a = 1.414 * math.sqrt(2.0 / (2 * d_k + 1))
+    return {
+        "W": std_w * jax.random.normal(k1, (in_dim, att_dim)),
+        "Wout": std_wo * jax.random.normal(k2, (att_dim, in_dim)),
+        "a": std_a * jax.random.normal(k3, (2 * d_k, 1)),
+    }
+
+
+def apply_gat_attention(params, cfg: Config, x: jax.Array, g: Graph):
+    """Returns (attention [E, H], wx [N, att_dim]).
+
+    GAT scoring a·[Wx_src ‖ Wx_dst] + LeakyReLU + segment softmax
+    (function_GAT_attention.py:105-115).
+    """
+    h = cfg.heads
+    d_k = cfg.attention_dim // h
+    wx = x @ params["W"]                                # [N, att_dim]
+    hh = _heads(wx, h, d_k)                             # [N, H, d_k]
+    edge_h = jnp.concatenate([hh[g.row], hh[g.col]], axis=-1)  # [E, H, 2d_k]
+    scores = jnp.einsum("ehd,d->eh", edge_h, params["a"][:, 0])
+    scores = jax.nn.leaky_relu(scores, cfg.leaky_relu_slope)
+    norm_index = g.row if cfg.attention_norm_idx == 0 else g.col
+    attention = segment_softmax(scores, norm_index, g.num_nodes, g.mask)
+    return attention, wx

@@ -1,0 +1,189 @@
+"""ODE blocks: couple an ODE function with a solver and graph preprocessing.
+
+Re-designs of the reference's block layer (/root/reference/src/base_classes.py:32-74
+and block_*.py) with every dynamic-shape trick replaced by a static-shape
+equivalent:
+
+  * constant        — ConstantODEblock (block_constant.py): fixed normalised
+    adjacency weights
+  * attention       — AttODEblock (block_transformer_attention.py): multihead
+    attention computed ONCE per forward at t=0 and frozen into the RHS
+  * mixed           — MixedODEblock (block_mixed.py): learnable convex combo
+    of frozen attention and the rw adjacency
+  * hard_attention  — HardAttODEblock (block_transformer_hard_attention.py):
+    training-time edge subsampling by attention quantile; here the kept edges
+    are a *mask + renormalised weights at fixed capacity* instead of a
+    shrunken edge_index, so the solve never recompiles
+
+The graph normalisation each reference block performs at __init__
+(rw norm_dim=1 with self-loop fill, or gcn) happens once in
+``prepare_graph``; the returned Graph is the static structure every solve
+uses.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from graph_neural_pde_tpu.config import Config
+from graph_neural_pde_tpu.models.attention import (
+    apply_transformer_attention,
+    init_transformer_attention,
+)
+from graph_neural_pde_tpu.models.functions import (
+    FuncAux,
+    active_regularizers,
+    init_func_params,
+    make_rhs,
+    wrap_regularized,
+)
+from graph_neural_pde_tpu.ops.graph import Graph, gcn_norm_fill_val, get_rw_adj
+from graph_neural_pde_tpu.ops.scatter import normalize_attention
+from graph_neural_pde_tpu.solvers.api import SolverOptions, odeint
+
+BLOCK_NAMES = ("constant", "attention", "mixed", "hard_attention",
+               "rewire_attention")
+
+
+def prepare_graph(cfg: Config, g: Graph) -> Graph:
+    """Apply the block's one-off adjacency normalisation.
+
+    constant: rw or gcn by cfg.data_norm (block_constant.py:12-21); all other
+    blocks: rw with norm_dim=1 (block_transformer_attention.py:13-16 etc.).
+    """
+    if cfg.block == "constant" and cfg.data_norm != "rw":
+        return gcn_norm_fill_val(g, fill_value=cfg.self_loop_weight)
+    return get_rw_adj(g, norm_dim=1, fill_value=cfg.self_loop_weight)
+
+
+def init_block(key, cfg: Config, in_dim: int):
+    """Learnable block parameters: the ODE function's params, plus a
+    block-level attention layer / gamma where the reference has one."""
+    k_f, k_a = jax.random.split(key)
+    p = {"func": init_func_params(k_f, cfg, in_dim)}
+    needs_block_attention = (
+        cfg.block in ("attention", "mixed", "rewire_attention")
+        or (cfg.block == "hard_attention" and cfg.function not in ("GAT", "transformer"))
+    )
+    if needs_block_attention:
+        p["att"] = init_transformer_attention(k_a, cfg, in_dim)
+    if cfg.block == "mixed":
+        p["gamma"] = jnp.zeros((1,))  # MixedODEblock gamma=0 default
+    return p
+
+
+def _block_attention(bparams, cfg: Config, g: Graph, x):
+    """The attention weights a block freezes at t=0."""
+    if "att" in bparams:
+        att, _v = apply_transformer_attention(bparams["att"], cfg, x, g,
+                                              edge_weight=g.weight)
+        return att
+    # hard_attention with function in {GAT, transformer}: reuse the function's
+    # own attention layer (block_transformer_hard_attention.py:36-41)
+    from graph_neural_pde_tpu.models.attention import apply_gat_attention
+    if cfg.function == "GAT":
+        att, _ = apply_gat_attention(bparams["func"]["att"], cfg, x, g)
+    else:
+        att, _ = apply_transformer_attention(bparams["func"]["att"], cfg, x, g,
+                                             edge_weight=g.weight)
+    return att
+
+
+def masked_quantile(values: jax.Array, mask: jax.Array, q: jax.Array) -> jax.Array:
+    """Linear-interpolated quantile over the masked entries (static shape).
+
+    Equivalent of torch.quantile(mean_att, q) over the valid edges
+    (block_transformer_hard_attention.py:60).
+    """
+    big = jnp.finfo(values.dtype).max
+    sorted_vals = jnp.sort(jnp.where(mask, values, big))
+    n = jnp.sum(mask.astype(jnp.int32))
+    rank = q * (n.astype(values.dtype) - 1.0)
+    lo = jnp.clip(jnp.floor(rank).astype(jnp.int32), 0, values.shape[0] - 1)
+    hi = jnp.clip(lo + 1, 0, values.shape[0] - 1)
+    frac = rank - lo.astype(values.dtype)
+    v_lo = sorted_vals[lo]
+    v_hi = jnp.where(hi < n, sorted_vals[hi], v_lo)
+    return v_lo + frac * (v_hi - v_lo)
+
+
+def build_aux(bparams, cfg: Config, g: Graph, x, training: bool
+              ) -> Tuple[FuncAux, Graph]:
+    """Per-forward precomputation: frozen attention / edge masking.
+
+    Returns the solve's FuncAux and the (possibly re-masked) graph.
+    """
+    x0 = jax.lax.stop_gradient(x)  # set_x0 detaches (base_classes.py:52-54)
+
+    if cfg.block == "constant":
+        return FuncAux(attention=None, x0=x0, edge_weight=g.weight), g
+
+    if cfg.block == "attention":
+        att = _block_attention(bparams, cfg, g, x)          # [E, H]
+        return FuncAux(attention=att, x0=x0, edge_weight=g.weight), g
+
+    if cfg.block == "mixed":
+        att = _block_attention(bparams, cfg, g, x)
+        gamma = jax.nn.sigmoid(bparams["gamma"][0])
+        mixed = jnp.mean(att, axis=1) * (1.0 - gamma) + g.weight * gamma
+        return FuncAux(attention=mixed, x0=x0, edge_weight=g.weight), g
+
+    if cfg.block == "hard_attention":
+        att = _block_attention(bparams, cfg, g, x)          # [E, H]
+        if training:
+            # the reference computes the subsampled weights under no_grad
+            # (block_transformer_hard_attention.py:52-65)
+            mean_att = jax.lax.stop_gradient(jnp.mean(att, axis=1))
+            if cfg.use_flux:
+                delta = jnp.linalg.norm(x[g.row] - x[g.col], axis=1)
+                mean_att = mean_att * jax.lax.stop_gradient(delta)
+            thresh = masked_quantile(mean_att, g.mask, 1.0 - cfg.att_samp_pct)
+            keep = (mean_att > thresh) & g.mask
+            norm_index = g.row if cfg.attention_norm_idx == 0 else g.col
+            sampled = normalize_attention(mean_att, norm_index, g.num_nodes,
+                                          mask=keep)
+            g2 = g.with_edges(g.row, g.col, g.weight, keep)
+            return FuncAux(attention=sampled, x0=x0, edge_weight=g.weight), g2
+        mean_att = jnp.mean(att, axis=1)
+        return FuncAux(attention=mean_att, x0=x0, edge_weight=g.weight), g
+
+    raise NotImplementedError(f"block '{cfg.block}' not implemented yet")
+
+
+def block_forward(bparams, cfg: Config, g: Graph, x, training: bool):
+    """Solve the IVP over [0, T]. Returns (z, stats, reg_states).
+
+    Training uses cfg.method with cfg.adjoint's gradient path; evaluation
+    always runs the plain (non-adjoint) primal (block_constant.py:35-70).
+    """
+    aux, g_run = build_aux(bparams, cfg, g, x, training)
+    rhs = make_rhs(cfg, g_run)
+
+    reg_names, _ = active_regularizers(cfg)
+    use_reg = training and len(reg_names) > 0
+    if use_reg:
+        rhs_run = wrap_regularized(rhs, reg_names)
+        state0 = (x,) + tuple(jnp.zeros((x.shape[0],)) for _ in reg_names)
+    else:
+        rhs_run = rhs
+        state0 = x
+
+    def func(p, t, y):
+        return rhs_run(p["f"], p["aux"], t, y)
+
+    params = {"f": bparams["func"], "aux": aux}
+    opts = SolverOptions.from_config(cfg)
+    adj_opts = SolverOptions.from_config(cfg, adjoint=True)
+    stateT, stats = odeint(func, params, state0, 0.0, cfg.time, opts,
+                           adjoint=cfg.adjoint and training,
+                           adjoint_opts=adj_opts)
+    if use_reg:
+        z = stateT[0]
+        reg_states = stateT[1:]
+    else:
+        z = stateT
+        reg_states = ()
+    return z, stats, reg_states

@@ -1,0 +1,216 @@
+"""ODE right-hand sides: dx/dt = f(x(t), G).
+
+Re-designs of the reference's ODEFunc family as *pure functions*
+``rhs(fparams, aux, t, x) -> dx/dt`` where ``fparams`` are learnable
+parameters and ``aux`` carries per-solve constants (frozen attention, x0):
+
+  * laplacian   — LaplacianODEFunc (/root/reference/src/function_laplacian_diffusion.py:15-51)
+  * transformer — ODEFuncTransformerAtt (function_transformer_attention.py:12-53),
+    recomputing multihead attention at every RHS evaluation (GRAND-nl)
+  * GAT         — ODEFuncAtt (function_GAT_attention.py:11-65)
+
+plus the regulariser augmentation of regularized_ODE_function.py:36-81 as
+jvp/vjp transforms of the RHS instead of torch.autograd.grad calls.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from graph_neural_pde_tpu.config import Config
+from graph_neural_pde_tpu.models.attention import (
+    apply_gat_attention,
+    apply_transformer_attention,
+    init_gat_attention,
+    init_transformer_attention,
+)
+from graph_neural_pde_tpu.models.layers import linear_apply
+from graph_neural_pde_tpu.ops.graph import Graph
+from graph_neural_pde_tpu.ops.spmm import spmm, spmm_multihead
+
+
+class FuncAux(NamedTuple):
+    """Per-solve constants threaded through the solver's params pytree so the
+    custom-VJP solvers can propagate gradients into them.
+
+    attention : [E, H] (attention block) or [E] (mixed / hard_attention) or None
+    x0        : source-term state, detached (the reference's set_x0 clones and
+                detaches — /root/reference/src/base_classes.py:52-54)
+    edge_weight: normalised adjacency weights (grad-free data constants)
+    """
+
+    attention: Optional[jax.Array]
+    x0: jax.Array
+    edge_weight: jax.Array
+
+
+def init_func_params(key, cfg: Config, in_dim: int):
+    """Learnable parameters shared by all ODE functions:
+    alpha_train/beta_train scalars initialised to 0
+    (/root/reference/src/base_classes.py:87-88), plus the attention layer's
+    parameters when the function recomputes attention."""
+    p = {
+        "alpha_train": jnp.zeros(()),
+        "beta_train": jnp.zeros(()),
+    }
+    if cfg.function == "transformer":
+        p["att"] = init_transformer_attention(key, cfg, in_dim)
+    elif cfg.function == "GAT":
+        p["att"] = init_gat_attention(key, cfg, in_dim)
+    elif cfg.function != "laplacian":
+        raise ValueError(f"unknown function '{cfg.function}'")
+    return p
+
+
+def _alpha(cfg: Config, fparams) -> jax.Array:
+    a = fparams["alpha_train"]
+    return a if cfg.no_alpha_sigmoid else jax.nn.sigmoid(a)
+
+
+def _source(cfg: Config, fparams, f, aux: FuncAux):
+    if cfg.add_source:
+        return f + fparams["beta_train"] * aux.x0
+    return f
+
+
+def make_rhs(cfg: Config, g: Graph) -> Callable:
+    """Build rhs(fparams, aux, t, x) for cfg.function over graph structure g.
+
+    g's row/col/mask are static-shaped index data; all differentiable inputs
+    flow through (fparams, aux).
+    """
+    if cfg.function == "laplacian":
+
+        def rhs(fparams, aux: FuncAux, t, x):
+            # adjacency source: frozen attention (mean-head or scalar) or
+            # normalised edge weights — sparse_multiply dispatch semantics of
+            # function_laplacian_diffusion.py:28-36
+            if aux.attention is not None:
+                w = (jnp.mean(aux.attention, axis=1)
+                     if aux.attention.ndim == 2 else aux.attention)
+            else:
+                w = aux.edge_weight
+            ax = spmm(g, x, weight=w)
+            f = _alpha(cfg, fparams) * (ax - x)
+            return _source(cfg, fparams, f, aux)
+
+        return rhs
+
+    if cfg.function == "transformer":
+
+        def rhs(fparams, aux: FuncAux, t, x):
+            attention, v = apply_transformer_attention(
+                fparams["att"], cfg, x, g, edge_weight=aux.edge_weight)
+            if cfg.mix_features:
+                vx = jnp.mean(spmm_multihead(g, attention, v), axis=1)  # [N, d_k]
+                ax = linear_apply(fparams["att"]["Wout"], vx)
+            else:
+                ax = spmm(g, x, weight=jnp.mean(attention, axis=1))
+            f = _alpha(cfg, fparams) * (ax - x)
+            return _source(cfg, fparams, f, aux)
+
+        return rhs
+
+    if cfg.function == "GAT":
+
+        def rhs(fparams, aux: FuncAux, t, x):
+            attention, wx = apply_gat_attention(fparams["att"], cfg, x, g)
+            if cfg.mix_features:
+                # per-head spmm of the full wx, meaned, then Wout
+                # (function_GAT_attention.py:32-44)
+                h = cfg.heads
+                wx_b = jnp.broadcast_to(wx[:, None, :],
+                                        (wx.shape[0], h, wx.shape[1]))
+                ax = jnp.mean(spmm_multihead(g, attention, wx_b), axis=1)
+                ax = ax @ fparams["att"]["Wout"]
+            else:
+                h = cfg.heads
+                x_b = jnp.broadcast_to(x[:, None, :], (x.shape[0], h, x.shape[1]))
+                ax = jnp.mean(spmm_multihead(g, attention, x_b), axis=1)
+            f = _alpha(cfg, fparams) * (ax - x)
+            return _source(cfg, fparams, f, aux)
+
+        return rhs
+
+    raise ValueError(f"unknown function '{cfg.function}'")
+
+
+# ---------------------------------------------------------------------------
+# regularisers (integrated alongside the state)
+# ---------------------------------------------------------------------------
+
+def quadratic_cost(x, t, dx, rhs_x):
+    """kinetic energy 0.5·mean(dx², per node) — regularized_ODE_function.py:66-69."""
+    return 0.5 * jnp.mean(dx * dx, axis=-1)
+
+
+def directional_derivative(x, t, dx, rhs_x):
+    """0.5·mean(((∂f/∂x)ᵀ f)², per node) — regularized_ODE_function.py:57-63."""
+    _, vjp_fn = jax.vjp(rhs_x, x)
+    (ddx,) = vjp_fn(dx)
+    return 0.5 * jnp.mean(ddx * ddx, axis=-1)
+
+
+def total_derivative(x, t, dx, rhs_x):
+    """Directional derivative plus ∂f/∂t — regularized_ODE_function.py:36-54.
+    All shipped RHS are autonomous, so the time term vanishes identically."""
+    _, vjp_fn = jax.vjp(rhs_x, x)
+    (ddx,) = vjp_fn(dx)
+    return 0.5 * jnp.mean(ddx * ddx, axis=-1)
+
+
+def jacobian_frobenius(x, t, dx, rhs_x):
+    """Per-node divergence trace(∂f/∂x) by brute force over feature dims —
+    the actual computation of divergence_bf (regularized_ODE_function.py:72-81)."""
+    d = x.shape[1]
+
+    def diag_entry(i):
+        basis = jnp.zeros_like(x).at[:, i].set(1.0)
+        _, jvp_out = jax.jvp(rhs_x, (x,), (basis,))
+        return jvp_out[:, i]
+
+    cols = jax.vmap(diag_entry)(jnp.arange(d))          # [D, N]
+    return jnp.sum(cols, axis=0)
+
+
+REGULARIZATION_FNS = {
+    "kinetic_energy": quadratic_cost,
+    "jacobian_norm2": jacobian_frobenius,
+    "total_deriv": total_derivative,
+    "directional_penalty": directional_derivative,
+}
+
+
+def active_regularizers(cfg: Config):
+    """(names, coeffs) of enabled regularisers, in registry order
+    (base_classes.py:10-29)."""
+    names, coeffs = [], []
+    for name in REGULARIZATION_FNS:
+        coeff = getattr(cfg, name)
+        if coeff is not None:
+            names.append(name)
+            coeffs.append(coeff)
+    return tuple(names), tuple(coeffs)
+
+
+def wrap_regularized(rhs: Callable, reg_names):
+    """Lift rhs to tuple states (x, r_1..r_k): dr_i/dt = reg_i(x, dx)
+    (regularized_ODE_function.py:17-29)."""
+    if not reg_names:
+        return rhs
+    fns = [REGULARIZATION_FNS[n] for n in reg_names]
+
+    def reg_rhs(fparams, aux, t, state):
+        x = state[0]
+
+        def rhs_x(xx):
+            return rhs(fparams, aux, t, xx)
+
+        dx = rhs_x(x)
+        rdots = tuple(fn(x, t, dx, rhs_x) for fn in fns)
+        return (dx,) + rdots
+
+    return reg_rhs

@@ -137,7 +137,25 @@ def odeint(func: Callable, params, y0, t0: float, t1: float,
     step stays in one jit (the reference meters NFE on the host,
     /root/reference/src/run_GNN.py:90-95).
     """
+    t0, t1 = float(t0), float(t1)
+    if adjoint or opts.is_adaptive:
+        # The adaptive and adjoint paths are custom-VJP functions: any value
+        # the RHS closes over that carries derivatives must become an explicit
+        # argument. closure_convert hoists exactly those (perturbed) captures;
+        # non-differentiated captures (edge indices, masks) legitimately stay
+        # in the closure — the jax.experimental.ode pattern.
+        t_ex = jnp.zeros((), jnp.float32)
+        converted, consts = jax.closure_convert(func, params, t_ex, y0)
+
+        def func2(pc, t, y):
+            p, cs = pc
+            return converted(p, t, y, *cs)
+
+        params2 = (params, tuple(consts))
+    else:
+        func2, params2 = func, params
+
     if adjoint:
-        return _odeint_adjoint(func, opts, adjoint_opts or opts,
-                               float(t0), float(t1), params, y0)
-    return _solve(func, opts, float(t0), float(t1), params, y0)
+        return _odeint_adjoint(func2, opts, adjoint_opts or opts,
+                               t0, t1, params2, y0)
+    return _solve(func2, opts, t0, t1, params2, y0)

@@ -1,0 +1,142 @@
+"""Training harness: one-jit train/eval steps, optimizers, metrics.
+
+Replaces the host-side epoch loop of /root/reference/src/run_GNN.py:62-148:
+loss + regularisation + gradient + optimizer update compile into a single
+XLA program; forward/backward NFE are carried on-device in the solver stats
+(the reference meters them on the host via mutable counters,
+run_GNN.py:90-95).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from graph_neural_pde_tpu.config import Config
+from graph_neural_pde_tpu.models.functions import active_regularizers
+from graph_neural_pde_tpu.models.gnn import GNNModel
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """Torch-style coupled weight decay (L2 added to gradients before the
+    moment updates), matching run_GNN.get_optimizer (run_GNN.py:24-36)."""
+    name, lr, wd = cfg.optimizer, cfg.lr, cfg.decay
+    if name == "sgd":
+        core = optax.sgd(lr)
+    elif name == "rmsprop":
+        core = optax.rmsprop(lr, decay=0.99, eps=1e-8)
+    elif name == "adagrad":
+        core = optax.adagrad(lr, eps=1e-10)
+    elif name == "adam":
+        core = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    elif name == "adamax":
+        core = optax.adamax(lr, b1=0.9, b2=0.999, eps=1e-8)
+    else:
+        raise ValueError(f"Unsupported optimizer: {name}")
+    if wd and wd > 0:
+        return optax.chain(optax.add_decayed_weights(wd), core)
+    return core
+
+
+def cross_entropy_loss(logits, labels, mask):
+    """Masked-mean cross entropy (CrossEntropyLoss over data.train_mask,
+    run_GNN.py:75-80; ogbn-arxiv's nll(log_softmax) is the same quantity)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+    m = mask.astype(logits.dtype)
+    return -jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def accuracy(logits, labels, mask):
+    pred = jnp.argmax(logits, axis=-1)
+    m = mask.astype(jnp.float32)
+    return jnp.sum((pred == labels) * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+@dataclass
+class EpochLog:
+    epoch: int
+    loss: float
+    train_acc: float
+    val_acc: float
+    test_acc: float
+    fwd_nfe: int
+    runtime: float
+
+
+class Trainer:
+    """Owns the jitted steps; data tensors are passed in (donated) each call."""
+
+    def __init__(self, model: GNNModel):
+        self.model = model
+        self.cfg = model.cfg
+        self.optimizer = make_optimizer(model.cfg)
+        _, self.reg_coeffs = active_regularizers(model.cfg)
+        self._train_step = jax.jit(self._train_step_impl)
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # -- jitted impls ----------------------------------------------------
+    def _train_step_impl(self, params, state, opt_state, x, pos, y,
+                         train_mask, rng):
+        def loss_fn(p):
+            logits, new_state, stats, regs = self.model.apply(
+                p, state, x, pos, training=True, rng=rng)
+            loss = cross_entropy_loss(logits, y, train_mask)
+            for coeff, rs in zip(self.reg_coeffs, regs):
+                if coeff:
+                    loss = loss + coeff * jnp.mean(rs)
+            return loss, (new_state, stats)
+
+        (loss, (new_state, stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_state, opt_state, loss, stats
+
+    def _eval_step_impl(self, params, state, x, pos, y, masks):
+        logits, _, stats, _ = self.model.apply(params, state, x, pos,
+                                               training=False)
+        accs = tuple(accuracy(logits, y, m) for m in masks)
+        return accs, logits, stats
+
+    # -- public ----------------------------------------------------------
+    def fit(self, data, *, epochs: Optional[int] = None, seed: int = 0,
+            log_every: int = 1, verbose: bool = True):
+        """data: object with x, y, pos (optional), train/val/test masks (jnp)."""
+        cfg = self.cfg
+        epochs = epochs if epochs is not None else cfg.epoch
+        key = jax.random.PRNGKey(seed)
+        k_init, key = jax.random.split(key)
+        params, state = self.model.init(k_init)
+        opt_state = self.optimizer.init(params)
+        pos = getattr(data, "pos_encoding", None)
+
+        best = {"val_acc": 0.0, "test_acc": 0.0, "train_acc": 0.0, "epoch": 0}
+        logs = []
+        for epoch in range(1, epochs):
+            t0 = time.time()
+            key, k_step = jax.random.split(key)
+            params, state, opt_state, loss, tstats = self._train_step(
+                params, state, opt_state, data.x, pos, data.y,
+                data.train_mask, k_step)
+            (tr, va, te), _, _ = self._eval_step(
+                params, state, data.x, pos, data.y,
+                (data.train_mask, data.val_mask, data.test_mask))
+            tr, va, te = float(tr), float(va), float(te)
+            if va > best["val_acc"]:
+                best = {"val_acc": va, "test_acc": te, "train_acc": tr,
+                        "epoch": epoch}
+            log = EpochLog(epoch, float(loss), tr, va, te,
+                           int(tstats["nfe"]), time.time() - t0)
+            logs.append(log)
+            if verbose and epoch % log_every == 0:
+                print(f"Epoch: {epoch:03d}, Runtime {log.runtime:.4f}, "
+                      f"Loss {log.loss:.4f}, forward nfe {log.fwd_nfe}, "
+                      f"Train: {tr:.4f}, Val: {va:.4f}, Test: {te:.4f}")
+        return params, state, best, logs

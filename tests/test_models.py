@@ -1,0 +1,224 @@
+"""Model-layer tests: attention invariants, block/function combinations,
+end-to-end training on a synthetic SBM graph.
+
+Mirrors the reference's test strategy (attention rows sum to 1, forward
+shapes in train/eval mode — /root/reference/test/test_attention.py,
+test_gnn.py) plus a learning test the reference doesn't have.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graph_neural_pde_tpu.config import Config
+from graph_neural_pde_tpu.data.synthetic import make_sbm_dataset
+from graph_neural_pde_tpu.models.attention import (
+    apply_gat_attention,
+    apply_transformer_attention,
+    init_gat_attention,
+    init_transformer_attention,
+)
+from graph_neural_pde_tpu.models.blocks import masked_quantile, prepare_graph
+from graph_neural_pde_tpu.models.gnn import GNNModel
+from graph_neural_pde_tpu.ops.graph import make_graph
+from graph_neural_pde_tpu.ops.scatter import segment_sum
+from graph_neural_pde_tpu.training.train import Trainer
+
+
+def small_cfg(**kw):
+    base = dict(hidden_dim=12, attention_dim=12, heads=3, method="rk4",
+                step_size=0.5, time=2.0, input_dropout=0.0, dropout=0.0,
+                max_nfe=5000, epoch=40, lr=0.05, decay=5e-4)
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    return make_sbm_dataset(num_nodes=90, num_classes=3, num_features=10,
+                            seed=1)
+
+
+class TestAttentionInvariants:
+    def graph_and_x(self, n=8, e_pad=40, d=12, seed=0):
+        rng = np.random.default_rng(seed)
+        row = rng.integers(0, n, size=30).astype(np.int32)
+        col = rng.integers(0, n, size=30).astype(np.int32)
+        g = make_graph(row, col, num_nodes=n, capacity=e_pad)
+        x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+        return g, x
+
+    @pytest.mark.parametrize("att_type", ["scaled_dot", "cosine_sim",
+                                          "pearson", "exp_kernel"])
+    def test_transformer_attention_normalised(self, att_type):
+        cfg = small_cfg(attention_type=att_type, attention_norm_idx=0)
+        g, x = self.graph_and_x()
+        params = init_transformer_attention(jax.random.PRNGKey(0), cfg, 12)
+        att, v = apply_transformer_attention(params, cfg, x, g)
+        assert att.shape == (g.capacity, cfg.heads)
+        sums = np.asarray(segment_sum(att, g.row, g.num_nodes, g.mask))
+        present = np.asarray(segment_sum(jnp.ones_like(att), g.row,
+                                         g.num_nodes, g.mask)) > 0
+        np.testing.assert_allclose(sums[present], 1.0, rtol=1e-4)
+        a = np.asarray(att)[np.asarray(g.mask)]
+        assert (a >= 0).all() and (a <= 1 + 1e-6).all()
+
+    def test_attention_norm_idx_col(self):
+        cfg = small_cfg(attention_norm_idx=1)
+        g, x = self.graph_and_x()
+        params = init_transformer_attention(jax.random.PRNGKey(0), cfg, 12)
+        att, _ = apply_transformer_attention(params, cfg, x, g)
+        sums = np.asarray(segment_sum(att, g.col, g.num_nodes, g.mask))
+        present = np.asarray(segment_sum(jnp.ones_like(att), g.col,
+                                         g.num_nodes, g.mask)) > 0
+        np.testing.assert_allclose(sums[present], 1.0, rtol=1e-4)
+
+    def test_squareplus_normalised(self):
+        cfg = small_cfg(square_plus=True)
+        g, x = self.graph_and_x()
+        params = init_transformer_attention(jax.random.PRNGKey(0), cfg, 12)
+        att, _ = apply_transformer_attention(params, cfg, x, g)
+        sums = np.asarray(segment_sum(att, g.row, g.num_nodes, g.mask))
+        present = np.asarray(segment_sum(jnp.ones_like(att), g.row,
+                                         g.num_nodes, g.mask)) > 0
+        np.testing.assert_allclose(sums[present], 1.0, rtol=1e-4)
+
+    def test_uniform_on_identical_features(self):
+        """Identical node states + scaled_dot → uniform attention per row
+        (the symmetric-toy-graph invariant of test_attention.py:54-96)."""
+        cfg = small_cfg(attention_type="scaled_dot")
+        n = 4
+        row = np.array([0, 0, 1, 1, 2, 3], np.int32)
+        col = np.array([1, 2, 0, 3, 0, 1], np.int32)
+        g = make_graph(row, col, num_nodes=n)
+        x = jnp.ones((n, 12))
+        params = init_transformer_attention(jax.random.PRNGKey(0), cfg, 12)
+        att, _ = apply_transformer_attention(params, cfg, x, g)
+        att = np.asarray(att)
+        np.testing.assert_allclose(att[0], att[1], rtol=1e-5)  # row 0's two edges
+        np.testing.assert_allclose(att[0], 0.5, rtol=1e-4)
+
+    def test_gat_attention_normalised(self):
+        cfg = small_cfg()
+        g, x = self.graph_and_x()
+        params = init_gat_attention(jax.random.PRNGKey(0), cfg, 12)
+        att, wx = apply_gat_attention(params, cfg, x, g)
+        assert wx.shape == (8, cfg.attention_dim)
+        sums = np.asarray(segment_sum(att, g.row, g.num_nodes, g.mask))
+        present = np.asarray(segment_sum(jnp.ones_like(att), g.row,
+                                         g.num_nodes, g.mask)) > 0
+        np.testing.assert_allclose(sums[present], 1.0, rtol=1e-4)
+
+    def test_heads_must_divide(self):
+        cfg = small_cfg(attention_dim=13, heads=3)
+        with pytest.raises(AssertionError):
+            init_transformer_attention(jax.random.PRNGKey(0), cfg, 12)
+
+
+class TestMaskedQuantile:
+    def test_matches_numpy(self):
+        rng = np.random.default_rng(0)
+        v = rng.normal(size=50).astype(np.float32)
+        mask = rng.random(50) < 0.7
+        for q in (0.1, 0.43, 0.9):
+            got = float(masked_quantile(jnp.asarray(v), jnp.asarray(mask),
+                                        jnp.float32(q)))
+            want = float(np.quantile(v[mask], q))
+            assert got == pytest.approx(want, rel=1e-5, abs=1e-6)
+
+
+class TestBlockForward:
+    @pytest.mark.parametrize("block,function", [
+        ("constant", "laplacian"),
+        ("constant", "transformer"),
+        ("constant", "GAT"),
+        ("attention", "laplacian"),
+        ("mixed", "laplacian"),
+        ("hard_attention", "laplacian"),
+        ("hard_attention", "transformer"),
+    ])
+    def test_shapes_both_modes(self, dataset, block, function):
+        cfg = small_cfg(block=block, function=function, att_samp_pct=0.8)
+        model = GNNModel(cfg, dataset.num_features, dataset.num_classes,
+                         dataset.graph)
+        params, state = model.init(jax.random.PRNGKey(0))
+        for training in (True, False):
+            logits, _, stats, _ = model.apply(
+                params, state, dataset.x, training=training,
+                rng=jax.random.PRNGKey(1))
+            assert logits.shape == (90, 3)
+            assert np.isfinite(np.asarray(logits)).all()
+            assert int(stats["nfe"]) > 0
+
+    def test_adaptive_and_adjoint_forward(self, dataset):
+        for adjoint in (False, True):
+            cfg = small_cfg(block="attention", function="laplacian",
+                            method="dopri5", adjoint=adjoint,
+                            adjoint_method="rk4", tol_scale=100.0)
+            model = GNNModel(cfg, dataset.num_features, dataset.num_classes,
+                             dataset.graph)
+            params, state = model.init(jax.random.PRNGKey(0))
+            logits, _, stats, _ = model.apply(params, state, dataset.x,
+                                              training=True,
+                                              rng=jax.random.PRNGKey(1))
+            assert np.isfinite(np.asarray(logits)).all()
+
+    def test_augment_and_options(self, dataset):
+        cfg = small_cfg(augment=True, add_source=True, batch_norm=True,
+                        use_mlp=True, fc_out=True)
+        model = GNNModel(cfg, dataset.num_features, dataset.num_classes,
+                         dataset.graph)
+        params, state = model.init(jax.random.PRNGKey(0))
+        logits, new_state, _, _ = model.apply(params, state, dataset.x,
+                                              training=True,
+                                              rng=jax.random.PRNGKey(1))
+        assert logits.shape == (90, 3)
+        # bn running stats updated
+        assert float(new_state["bn_in"]["count"]) == 1.0
+
+    def test_regularizers(self, dataset):
+        cfg = small_cfg(kinetic_energy=0.1, directional_penalty=0.05)
+        model = GNNModel(cfg, dataset.num_features, dataset.num_classes,
+                         dataset.graph)
+        params, state = model.init(jax.random.PRNGKey(0))
+        logits, _, _, regs = model.apply(params, state, dataset.x,
+                                         training=True,
+                                         rng=jax.random.PRNGKey(1))
+        assert len(regs) == 2
+        assert all(np.isfinite(np.asarray(r)).all() for r in regs)
+        assert float(jnp.mean(regs[0])) > 0
+
+
+class TestEndToEnd:
+    def test_grand_l_learns(self, dataset):
+        """GRAND-l (constant+laplacian, rk4) must beat chance comfortably."""
+        cfg = small_cfg(block="constant", function="laplacian",
+                        add_source=True, epoch=30)
+        model = GNNModel(cfg, dataset.num_features, dataset.num_classes,
+                         dataset.graph)
+        trainer = Trainer(model)
+        _, _, best, logs = trainer.fit(dataset, verbose=False)
+        assert best["val_acc"] > 0.7, f"val acc too low: {best}"
+        assert logs[0].fwd_nfe > 0
+
+    def test_grand_nl_attention_learns(self, dataset):
+        """GRAND-nl: attention block + laplacian with dopri5."""
+        cfg = small_cfg(block="attention", function="laplacian",
+                        method="dopri5", tol_scale=1e3, add_source=True,
+                        epoch=25)
+        model = GNNModel(cfg, dataset.num_features, dataset.num_classes,
+                         dataset.graph)
+        trainer = Trainer(model)
+        _, _, best, _ = trainer.fit(dataset, verbose=False)
+        assert best["val_acc"] > 0.7, f"val acc too low: {best}"
+
+    def test_adjoint_training_runs(self, dataset):
+        cfg = small_cfg(block="constant", function="laplacian", adjoint=True,
+                        method="dopri5", adjoint_method="adaptive_heun",
+                        tol_scale=1e3, tol_scale_adjoint=1e3, epoch=8)
+        model = GNNModel(cfg, dataset.num_features, dataset.num_classes,
+                         dataset.graph)
+        trainer = Trainer(model)
+        _, _, best, logs = trainer.fit(dataset, verbose=False)
+        assert np.isfinite(logs[-1].loss)
