@@ -1,0 +1,169 @@
+"""Blocked-bucket edge plan: the layout the Pallas graph kernels run on.
+
+Why: on TPU, XLA's gather/scatter over an edge list is *index-latency bound*
+(~10ns/edge measured on v5e — 30-60ms for an ogbn-arxiv-sized graph, 20-50x
+off HBM speed-of-light). The TPU-native layout tiles nodes into blocks of
+``block_n`` and buckets edges by (row_block, col_block). A kernel then walks
+buckets with both node blocks resident in VMEM and performs the gather and
+scatter as *one-hot matmuls on the MXU* — regular, dense, fast.
+
+The plan is built once per graph (host side, numpy) and reorders the edge
+list; everything downstream (attention scores, softmax segments) operates on
+the reordered edges, so no runtime permutation is ever needed.
+
+Layout produced (all static shapes):
+  * edges sorted by (row_block, col_block), each bucket padded to a multiple
+    of ``chunk`` edges; padding slots carry row_local=col_local=0, weight 0,
+    valid False
+  * per chunk c: chunk_rows[c] = row_block id, chunk_cols[c] = col_block id
+  * chunks of one row_block are contiguous → the output block stays in VMEM
+    across its whole edge stripe (matmul-style accumulation)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import numpy as np
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=("row_local", "col_local", "weight", "valid", "row",
+                      "col", "chunk_rows", "chunk_cols"),
+         meta_fields=("block_n", "chunk", "num_nodes"))
+@dataclass(frozen=True)
+class BlockPlan:
+    """Host-built, device-resident edge plan (a pytree of arrays + statics)."""
+
+    # per padded edge slot (length E_plan)
+    row_local: np.ndarray    # int32, row id within its row block
+    col_local: np.ndarray    # int32, col id within its col block
+    weight: np.ndarray       # float32 (0 on padding)
+    valid: np.ndarray        # bool
+    row: np.ndarray          # int32 global row id (0 on padding)
+    col: np.ndarray          # int32 global col id (0 on padding)
+    # per chunk (length n_chunks)
+    chunk_rows: np.ndarray   # int32 row block id
+    chunk_cols: np.ndarray   # int32 col block id
+    # statics
+    block_n: int
+    chunk: int
+    num_nodes: int           # padded node count (multiple of block_n)
+
+    @property
+    def n_chunks(self) -> int:
+        return self.chunk_rows.shape[0]
+
+    @property
+    def capacity(self) -> int:
+        return self.row_local.shape[0]
+
+
+def _build(row, col, weight, tags, num_nodes, block_n, chunk):
+    """Core builder. ``tags`` (int64 payload per edge) rides along the sort;
+    returns (plan, tags_out) with tags_out[i] = -1 on padding slots."""
+    n_pad = _ceil_to(max(num_nodes, 1), block_n)
+    nblocks = n_pad // block_n
+    rb = row // block_n
+    cb = col // block_n
+    order = np.lexsort((cb, rb))
+    row, col, weight, rb, cb, tags = (a[order] for a in
+                                      (row, col, weight, rb, cb, tags))
+
+    # bucket (rb, cb) boundaries over the sorted edges
+    key = rb * nblocks + cb
+    uniq, starts_u, counts_u = np.unique(key, return_index=True,
+                                         return_counts=True)
+    bucket_of_rb = {}
+    for k, s, c in zip(uniq, starts_u, counts_u):
+        bucket_of_rb.setdefault(int(k) // nblocks, []).append(
+            (int(k) % nblocks, int(s), int(c)))
+
+    # every row block must own at least one chunk so the kernel initialises
+    # (and writes back) every output block
+    chunks = []           # (rbi, cbi, src_start, n_valid) per chunk
+    for rbi in range(nblocks):
+        buckets = bucket_of_rb.get(rbi, [(0, 0, 0)])
+        for cbi, s, c in buckets:
+            pc = max(chunk, _ceil_to(c, chunk))
+            for j in range(pc // chunk):
+                lo = s + j * chunk
+                nv = min(max(c - j * chunk, 0), chunk)
+                chunks.append((rbi, cbi, lo, nv))
+
+    n_chunks = len(chunks)
+    total = n_chunks * chunk
+    row_l = np.zeros(total, np.int32)
+    col_l = np.zeros(total, np.int32)
+    w_out = np.zeros(total, np.float32)
+    valid = np.zeros(total, bool)
+    row_g = np.zeros(total, np.int32)
+    col_g = np.zeros(total, np.int32)
+    tags_out = np.full(total, -1, np.int64)
+    chunk_rows = np.zeros(n_chunks, np.int32)
+    chunk_cols = np.zeros(n_chunks, np.int32)
+
+    for ci, (rbi, cbi, lo, nv) in enumerate(chunks):
+        chunk_rows[ci] = rbi
+        chunk_cols[ci] = cbi
+        if nv == 0:
+            continue
+        dst = slice(ci * chunk, ci * chunk + nv)
+        src = slice(lo, lo + nv)
+        row_l[dst] = (row[src] - rbi * block_n).astype(np.int32)
+        col_l[dst] = (col[src] - cbi * block_n).astype(np.int32)
+        w_out[dst] = weight[src]
+        valid[dst] = True
+        row_g[dst] = row[src].astype(np.int32)
+        col_g[dst] = col[src].astype(np.int32)
+        tags_out[dst] = tags[src]
+
+    plan = BlockPlan(row_local=row_l, col_local=col_l, weight=w_out,
+                     valid=valid, row=row_g, col=col_g,
+                     chunk_rows=chunk_rows, chunk_cols=chunk_cols,
+                     block_n=block_n, chunk=chunk, num_nodes=n_pad)
+    return plan, tags_out
+
+
+def build_block_plan(row, col, weight=None, mask=None, *, num_nodes: int,
+                     block_n: int = 1024, chunk: int = 1024) -> BlockPlan:
+    """Bucket + sort + pad the edge list (numpy, one-off preprocessing)."""
+    row = np.asarray(row, np.int64)
+    col = np.asarray(col, np.int64)
+    e = row.shape[0]
+    weight = (np.ones(e, np.float32) if weight is None
+              else np.asarray(weight, np.float32))
+    if mask is not None:
+        keep = np.asarray(mask, bool)
+        row, col, weight = row[keep], col[keep], weight[keep]
+        e = row.shape[0]
+    plan, _ = _build(row, col, weight, np.arange(e, dtype=np.int64),
+                     num_nodes, block_n, chunk)
+    return plan
+
+
+def transpose_plan(plan: BlockPlan):
+    """Plan of the transposed graph plus the slot permutation.
+
+    Returns (plan_t, t_perm, t_valid): for transposed slot i,
+    plan_t edge i corresponds to forward-plan slot t_perm[i]
+    (t_perm[i] == 0 with t_valid[i] == False on padding). Used by the SpMM
+    backward pass: dx = Aᵀ·ct needs forward edge weights in transposed order,
+    w_t = where(t_valid, w[t_perm], 0).
+    """
+    keep = np.asarray(plan.valid)
+    slots = np.where(keep)[0].astype(np.int64)
+    plan_t, tags = _build(np.asarray(plan.col, np.int64)[keep],
+                          np.asarray(plan.row, np.int64)[keep],
+                          np.asarray(plan.weight)[keep], slots,
+                          plan.num_nodes, plan.block_n, plan.chunk)
+    t_valid = tags >= 0
+    t_perm = np.where(t_valid, tags, 0).astype(np.int32)
+    return plan_t, t_perm, t_valid
