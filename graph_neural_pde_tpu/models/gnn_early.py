@@ -1,0 +1,74 @@
+"""GNNEarly: GNN whose test-time integrator evaluates accuracy per step.
+
+Re-design of /root/reference/src/GNN_early.py: at evaluation the ODE block
+integrates to ``earlystopxT · T`` with the early-stop solver, decoding the
+state with the classifier head after every accepted step and tracking the
+best-validation snapshot (and its diffusion time t*). Training is identical
+to the plain GNN.
+
+The reference pushes decoder weights into the solver object each forward
+(GNN_early.py:31-33, 78-79); here the evaluate closure simply reads the same
+params pytree — no weight copies, no object mutation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from graph_neural_pde_tpu.config import Config
+from graph_neural_pde_tpu.models.blocks import build_aux, make_rhs
+from graph_neural_pde_tpu.models.gnn import GNNModel
+from graph_neural_pde_tpu.models.layers import linear_apply
+from graph_neural_pde_tpu.ops.graph import Graph
+from graph_neural_pde_tpu.solvers.api import SolverOptions
+from graph_neural_pde_tpu.solvers.early_stop import BestSnapshot, odeint_early_stop
+from graph_neural_pde_tpu.training.train import accuracy
+
+
+class GNNEarlyModel(GNNModel):
+    """GNNModel + early-stopped evaluation (run_GNN.py:266-271 consumers)."""
+
+    def apply_early(self, params, state, x, y, masks, pos_encoding=None,
+                    rng: Optional[jax.Array] = None,
+                    graph: Optional[Graph] = None):
+        """Evaluation forward with in-integrator model selection.
+
+        y: int labels [N]; masks: (train_mask, val_mask, test_mask).
+        Returns (logits_at_extended_T, best: BestSnapshot, stats).
+        """
+        cfg = self.cfg
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        k_enc, k_dec = jax.random.split(rng)
+        g = graph if graph is not None else self.graph
+        x0, _ = self.encode(params, state, x, pos_encoding, False, k_enc)
+
+        aux, g_run = build_aux(params["block"], cfg, g, x0, training=False)
+        rhs = make_rhs(cfg, g_run)
+
+        def func(p, t, yy):
+            return rhs(p["f"], p["aux"], t, yy)
+
+        m2 = params["m2"]
+        train_mask, val_mask, test_mask = masks
+
+        def evaluate(z):
+            # relu -> m2 only — the early-stop evaluator ignores fc_out and
+            # dropout (early_stop_solver.py:105-122)
+            if cfg.augment:
+                z = z[:, : self.core_dim]
+            logits = linear_apply(m2, jax.nn.relu(z))
+            return (accuracy(logits, y, train_mask),
+                    accuracy(logits, y, val_mask),
+                    accuracy(logits, y, test_mask))
+
+        opts = SolverOptions.from_config(cfg)
+        t_ext = cfg.earlystopxT * cfg.time   # EarlyStopInt t (early_stop_solver.py:244)
+        zT, best, stats = odeint_early_stop(
+            func, {"f": params["block"]["func"], "aux": aux}, x0, 0.0,
+            float(t_ext), opts, evaluate, max_test_steps=cfg.max_test_steps)
+        logits = self.decode(params, zT, False, k_dec)
+        return logits, best, stats
