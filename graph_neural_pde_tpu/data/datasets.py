@@ -1,0 +1,383 @@
+"""Dataset registry + host-side loaders (no torch_geometric dependency).
+
+Re-implements the data layer of /root/reference/src/data.py:34-103 and
+heterophilic.py from the raw file formats:
+
+  * Planetoid (Cora / Citeseer / Pubmed) — the ind.{name}.{x,tx,allx,...}
+    pickle format, including the Citeseer isolated-test-node fix
+  * Amazon Computers / Photo, Coauthor CS — the Shchur et al. .npz format
+  * ogbn-arxiv — OGB raw csv.gz layout + its official time-based split
+  * WebKB (cornell/texas/wisconsin), WikipediaNetwork (chameleon/squirrel),
+    Actor (film) — geom-gcn txt formats with feature row-normalisation
+
+plus largest-connected-component extraction (vectorised, replacing the
+python BFS of data.py:106-127) and the split conventions (planetoid public
+splits; the seeded development/test split of data.py:147-174; geom-gcn fixed
+splits; random splits of heterophilic.py:272-292).
+
+This is a zero-egress environment: loaders read from ``data_dir`` when the
+raw files exist and raise DatasetUnavailable otherwise; ``get_dataset`` can
+fall back to a size-matched synthetic SBM so every pipeline stays runnable.
+Processed arrays are cached as .npz.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import pickle
+import sys
+from typing import Optional
+
+import numpy as np
+
+from graph_neural_pde_tpu.config import Config
+from graph_neural_pde_tpu.data.synthetic import NodeDataset, make_sbm_dataset
+from graph_neural_pde_tpu.ops.graph import make_graph
+
+
+class DatasetUnavailable(FileNotFoundError):
+    pass
+
+
+# approximate real shapes, for the synthetic fallback
+_SHAPES = {
+    "Cora": (2708, 1433, 7), "Citeseer": (3327, 3703, 6),
+    "Pubmed": (19717, 500, 3), "Computers": (13752, 767, 10),
+    "Photo": (7650, 745, 8), "CoauthorCS": (18333, 6805, 15),
+    "ogbn-arxiv": (169343, 128, 40), "cornell": (183, 1703, 5),
+    "texas": (183, 1703, 5), "wisconsin": (251, 1703, 5),
+    "chameleon": (2277, 2325, 5), "squirrel": (5201, 2089, 5),
+    "film": (7600, 931, 5),
+}
+
+
+# ---------------------------------------------------------------------------
+# planetoid
+# ---------------------------------------------------------------------------
+
+def _parse_index_file(path):
+    with open(path) as f:
+        return np.array([int(line.strip()) for line in f], np.int64)
+
+
+def load_planetoid(root: str, name: str):
+    """Parse the ind.* pickle format (PyG Planetoid raw layout)."""
+    lname = name.lower()
+    raw = os.path.join(root, name, "raw")
+    if not os.path.isdir(raw):
+        raw = os.path.join(root, name)
+    objs = {}
+    for suffix in ("x", "tx", "allx", "y", "ty", "ally", "graph"):
+        p = os.path.join(raw, f"ind.{lname}.{suffix}")
+        if not os.path.exists(p):
+            raise DatasetUnavailable(p)
+        with open(p, "rb") as f:
+            objs[suffix] = pickle.load(f, encoding="latin1")
+    test_idx = _parse_index_file(os.path.join(raw, f"ind.{lname}.test.index"))
+
+    import scipy.sparse as sp
+    x, tx, allx = objs["x"], objs["tx"], objs["allx"]
+    y, ty, ally = objs["y"], objs["ty"], objs["ally"]
+
+    test_sorted = np.sort(test_idx)
+    if lname == "citeseer":
+        # isolated test nodes: pad tx/ty over the full test range
+        full = np.arange(test_sorted[0], test_sorted[-1] + 1)
+        tx_ext = sp.lil_matrix((len(full), x.shape[1]), dtype=np.float32)
+        tx_ext[test_sorted - test_sorted[0]] = tx
+        ty_ext = np.zeros((len(full), ty.shape[1]), ty.dtype)
+        ty_ext[test_sorted - test_sorted[0]] = ty
+        tx, ty = tx_ext, ty_ext
+
+    features = sp.vstack([allx, tx]).tolil()
+    features[test_idx, :] = features[test_sorted, :]
+    labels_oh = np.vstack([ally, ty])
+    labels_oh[test_idx, :] = labels_oh[test_sorted, :]
+    labels = labels_oh.argmax(axis=1).astype(np.int64)
+
+    graph = objs["graph"]
+    rows, cols = [], []
+    for src, nbrs in graph.items():
+        rows.extend([src] * len(nbrs))
+        cols.extend(nbrs)
+    edge_index = np.stack([np.array(rows, np.int64), np.array(cols, np.int64)])
+    edge_index = _to_undirected(edge_index)
+
+    n = labels.shape[0]
+    train_mask = np.zeros(n, bool)
+    train_mask[: y.shape[0]] = True
+    val_mask = np.zeros(n, bool)
+    val_mask[y.shape[0]: y.shape[0] + 500] = True
+    test_mask = np.zeros(n, bool)
+    test_mask[test_idx] = True
+    return (np.asarray(features.todense(), np.float32), labels, edge_index,
+            train_mask, val_mask, test_mask)
+
+
+# ---------------------------------------------------------------------------
+# Shchur npz (Amazon / Coauthor)
+# ---------------------------------------------------------------------------
+
+def load_shchur_npz(root: str, name: str, fname: str):
+    import scipy.sparse as sp
+    candidates = [os.path.join(root, name, "raw", fname),
+                  os.path.join(root, name, fname),
+                  os.path.join(root, fname)]
+    path = next((p for p in candidates if os.path.exists(p)), None)
+    if path is None:
+        raise DatasetUnavailable(candidates[0])
+    with np.load(path, allow_pickle=True) as loader:
+        d = dict(loader)
+    adj = sp.csr_matrix((d["adj_data"], d["adj_indices"], d["adj_indptr"]),
+                        shape=d["adj_shape"]).tocoo()
+    attr = sp.csr_matrix((d["attr_data"], d["attr_indices"], d["attr_indptr"]),
+                         shape=d["attr_shape"])
+    x = np.asarray(attr.todense(), np.float32)
+    y = d["labels"].astype(np.int64)
+    edge_index = _to_undirected(
+        np.stack([adj.row.astype(np.int64), adj.col.astype(np.int64)]))
+    return x, y, edge_index
+
+
+# ---------------------------------------------------------------------------
+# ogbn-arxiv
+# ---------------------------------------------------------------------------
+
+def load_ogbn_arxiv(root: str):
+    base = os.path.join(root, "ogbn-arxiv", "ogbn_arxiv")
+    if not os.path.isdir(base):
+        base = os.path.join(root, "ogbn_arxiv")
+    raw, split = os.path.join(base, "raw"), os.path.join(base, "split", "time")
+    if not os.path.isdir(raw):
+        raise DatasetUnavailable(raw)
+
+    def csv_gz(path):
+        with gzip.open(path, "rt") as f:
+            return np.loadtxt(f, delimiter=",")
+
+    edge = csv_gz(os.path.join(raw, "edge.csv.gz")).astype(np.int64).T
+    x = csv_gz(os.path.join(raw, "node-feat.csv.gz")).astype(np.float32)
+    y = csv_gz(os.path.join(raw, "node-label.csv.gz")).astype(np.int64).ravel()
+    n = x.shape[0]
+    masks = {}
+    for part in ("train", "valid", "test"):
+        idx = csv_gz(os.path.join(split, f"{part}.csv.gz")).astype(np.int64)
+        m = np.zeros(n, bool)
+        m[idx] = True
+        masks[part] = m
+    edge_index = _to_undirected(edge)   # data.py:85
+    return x, y, edge_index, masks["train"], masks["valid"], masks["test"]
+
+
+# ---------------------------------------------------------------------------
+# heterophilic (geom-gcn txt formats)
+# ---------------------------------------------------------------------------
+
+def load_heterophilic(root: str, name: str):
+    """WebKB / WikipediaNetwork / Actor from out1_* files
+    (heterophilic.py:17-263), with NormalizeFeatures (row-sum to 1)."""
+    sub = {"film": "film"}.get(name, name)
+    candidates = [os.path.join(root, sub, "raw"), os.path.join(root, sub)]
+    base = next((p for p in candidates if os.path.isdir(p)), None)
+    if base is None:
+        raise DatasetUnavailable(candidates[0])
+    feat_path = os.path.join(base, "out1_node_feature_label.txt")
+    edge_path = os.path.join(base, "out1_graph_edges.txt")
+    if not os.path.exists(feat_path):
+        raise DatasetUnavailable(feat_path)
+
+    with open(feat_path) as f:
+        rows = f.read().strip().split("\n")[1:]
+    n = len(rows)
+    ys = np.zeros(n, np.int64)
+    if name == "film":
+        # sparse indices format (heterophilic.py:223-239)
+        dim = 932
+        x = np.zeros((n, dim), np.float32)
+        for line in rows:
+            nid, feat, label = line.split("\t")
+            idx = np.array(feat.split(","), np.int64)
+            x[int(nid), idx] = 1.0
+        for line in rows:
+            nid, _, label = line.split("\t")
+            ys[int(nid)] = int(label)
+    else:
+        feats = []
+        for line in rows:
+            nid, feat, label = line.split("\t")
+            feats.append(np.array(feat.split(","), np.float32))
+            ys[int(nid)] = int(label)
+        x = np.stack(feats)
+
+    with open(edge_path) as f:
+        lines = f.read().strip().split("\n")[1:]
+    pairs = np.array([[int(v) for v in ln.split("\t")] for ln in lines],
+                     np.int64).T
+    edge_index = _coalesce_np(_to_undirected(pairs), n)
+
+    # T.NormalizeFeatures: rows sum to 1
+    s = x.sum(axis=1, keepdims=True)
+    x = np.divide(x, np.maximum(s, 1e-12))
+    return x.astype(np.float32), ys, edge_index
+
+
+def load_geom_gcn_split(splits_dir: str, name: str, split_idx: int, n: int):
+    """Fixed geom-gcn splits *.npz (heterophilic.py:295-319)."""
+    fname = f"{name}_split_0.6_0.2_{split_idx}.npz"
+    path = os.path.join(splits_dir, fname)
+    if not os.path.exists(path):
+        raise DatasetUnavailable(path)
+    with np.load(path) as f:
+        return (f["train_mask"].astype(bool), f["val_mask"].astype(bool),
+                f["test_mask"].astype(bool))
+
+
+def generate_random_splits(y: np.ndarray, seed: int, train_rate=0.6,
+                           val_rate=0.2):
+    """Random 60/20/20 splits (heterophilic.py:272-292)."""
+    rng = np.random.RandomState(seed)
+    n = y.shape[0]
+    perm = rng.permutation(n)
+    n_train = int(round(train_rate * n))
+    n_val = int(round(val_rate * n))
+    train = np.zeros(n, bool); train[perm[:n_train]] = True
+    val = np.zeros(n, bool); val[perm[n_train:n_train + n_val]] = True
+    test = np.zeros(n, bool); test[perm[n_train + n_val:]] = True
+    return train, val, test
+
+
+# ---------------------------------------------------------------------------
+# shared utilities
+# ---------------------------------------------------------------------------
+
+def _to_undirected(edge_index: np.ndarray) -> np.ndarray:
+    row = np.concatenate([edge_index[0], edge_index[1]])
+    col = np.concatenate([edge_index[1], edge_index[0]])
+    return _dedupe(np.stack([row, col]))
+
+
+def _dedupe(edge_index: np.ndarray) -> np.ndarray:
+    key = edge_index[0] * (edge_index.max() + 1) + edge_index[1]
+    _, idx = np.unique(key, return_index=True)
+    return edge_index[:, np.sort(idx)]
+
+
+def _coalesce_np(edge_index: np.ndarray, n: int) -> np.ndarray:
+    key = edge_index[0] * n + edge_index[1]
+    _, idx = np.unique(key, return_index=True)
+    return edge_index[:, np.sort(idx)]
+
+
+def largest_connected_component(edge_index: np.ndarray, n: int) -> np.ndarray:
+    """Node ids of the LCC (vectorised; replaces data.py:106-127's BFS)."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components
+    a = sp.coo_matrix((np.ones(edge_index.shape[1]),
+                       (edge_index[0], edge_index[1])), shape=(n, n))
+    ncomp, labels = connected_components(a, directed=False)
+    if ncomp == 1:
+        return np.arange(n)
+    sizes = np.bincount(labels)
+    return np.where(labels == sizes.argmax())[0]
+
+
+def restrict_to_nodes(edge_index, keep: np.ndarray):
+    """Remap edges onto the kept-node index space (data.py:130-144)."""
+    n_old = int(max(edge_index.max(), keep.max())) + 1
+    mapper = np.full(n_old, -1, np.int64)
+    mapper[keep] = np.arange(len(keep))
+    r, c = mapper[edge_index[0]], mapper[edge_index[1]]
+    m = (r >= 0) & (c >= 0)
+    return np.stack([r[m], c[m]])
+
+
+def set_train_val_test_split(seed: int, y: np.ndarray, num_development=1500,
+                             num_per_class=20):
+    """Seeded development/test split (data.py:147-174, same RandomState use)."""
+    rnd_state = np.random.RandomState(seed)
+    num_nodes = y.shape[0]
+    development_idx = rnd_state.choice(num_nodes, num_development,
+                                       replace=False)
+    dev_set = set(development_idx.tolist())
+    test_idx = [i for i in range(num_nodes) if i not in dev_set]
+
+    train_idx = []
+    rnd_state = np.random.RandomState(seed)
+    for c in range(int(y.max()) + 1):
+        class_idx = development_idx[np.where(y[development_idx] == c)[0]]
+        train_idx.extend(
+            rnd_state.choice(class_idx, num_per_class,
+                             replace=False).tolist())
+    train_set = set(train_idx)
+    val_idx = [i for i in development_idx if i not in train_set]
+
+    def mask(idx):
+        m = np.zeros(num_nodes, bool)
+        m[np.asarray(idx, np.int64)] = True
+        return m
+
+    return mask(train_idx), mask(val_idx), mask(test_idx)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def get_dataset(cfg: Config, data_dir: str, use_lcc: bool = False, *,
+                split_seed: Optional[int] = None,
+                synthetic_fallback: bool = True,
+                edge_pad_multiple: Optional[int] = None) -> NodeDataset:
+    """Load + preprocess a dataset (get_dataset semantics, data.py:34-103)."""
+    ds = cfg.dataset
+    pad = edge_pad_multiple or cfg.edge_pad_multiple
+    try:
+        masks = None
+        if ds in ("Cora", "Citeseer", "Pubmed"):
+            x, y, ei, tm, vm, sm = load_planetoid(data_dir, ds)
+            masks = (tm, vm, sm)
+        elif ds in ("Computers", "Photo"):
+            fname = f"amazon_electronics_{ds.lower()}.npz"
+            x, y, ei = load_shchur_npz(data_dir, ds, fname)
+        elif ds == "CoauthorCS":
+            x, y, ei = load_shchur_npz(data_dir, "CoauthorCS", "ms_academic_cs.npz")
+        elif ds == "ogbn-arxiv":
+            x, y, ei, tm, vm, sm = load_ogbn_arxiv(data_dir)
+            masks = (tm, vm, sm)
+            use_lcc = False   # data.py:52
+        elif ds in ("cornell", "texas", "wisconsin", "chameleon", "squirrel",
+                    "film"):
+            x, y, ei = load_heterophilic(data_dir, ds)
+        else:
+            raise ValueError(f"Unknown dataset {ds}.")
+    except DatasetUnavailable:
+        if not synthetic_fallback:
+            raise
+        n, f, c = _SHAPES.get(ds, (3000, 128, 7))
+        print(f"[data] raw files for {ds} not found under {data_dir}; "
+              f"using a size-matched synthetic SBM stand-in", file=sys.stderr)
+        d = make_sbm_dataset(num_nodes=min(n, 20000), num_classes=c,
+                             num_features=min(f, 512),
+                             edge_pad_multiple=pad, seed=cfg.seed)
+        d.name = f"{ds}-synthetic"
+        return d
+
+    if use_lcc:
+        lcc = largest_connected_component(ei, x.shape[0])
+        x, y = x[lcc], y[lcc]
+        ei = restrict_to_nodes(ei, lcc)
+        masks = None   # LCC invalidates fixed masks (data.py:70-73)
+
+    if masks is None:
+        ndev = 5000 if ds == "CoauthorCS" else 1500
+        masks = set_train_val_test_split(
+            split_seed if split_seed is not None else 12345, y,
+            num_development=ndev)
+
+    g = make_graph(ei[0], ei[1], num_nodes=x.shape[0], pad_multiple=pad)
+    import jax.numpy as jnp
+    return NodeDataset(
+        graph=g, x=jnp.asarray(x), y=jnp.asarray(y, jnp.int32),
+        train_mask=jnp.asarray(masks[0]), val_mask=jnp.asarray(masks[1]),
+        test_mask=jnp.asarray(masks[2]), num_classes=int(y.max()) + 1,
+        num_features=x.shape[1], name=ds)
