@@ -193,7 +193,7 @@ def _p(**kw) -> Config:
 # are spelled out.
 best_params = {
     "Cora": _p(
-        dataset="Cora", add_source=True, attention_dim=128, attention_norm_idx=1,
+        dataset="Cora", no_early=False, add_source=True, attention_dim=128, attention_norm_idx=1,
         attention_type="scaled_dot", block="attention", data_norm="rw",
         decay=0.00507685443154266, dropout=0.046878964627763316, epoch=100,
         function="laplacian", heads=8, hidden_dim=80, input_dropout=0.5,
@@ -202,7 +202,7 @@ best_params = {
         time=18.294754260552843, tol_scale=821.9773048827274,
     ),
     "Citeseer": _p(
-        dataset="Citeseer", add_source=True, attention_dim=32, attention_norm_idx=1,
+        dataset="Citeseer", no_early=False, add_source=True, attention_dim=32, attention_norm_idx=1,
         attention_type="exp_kernel", block="attention", data_norm="rw",
         decay=0.1, dropout=0.7488085003122172, epoch=250, function="laplacian",
         heads=8, hidden_dim=80, input_dropout=0.6803233752085334,
@@ -221,7 +221,7 @@ best_params = {
         tol_scale_adjoint=16324.368093998313, no_early=False, earlystopxT=5.0,
     ),
     "CoauthorCS": _p(
-        dataset="CoauthorCS", adjoint=True, adjoint_method="dopri5",
+        dataset="CoauthorCS", no_early=False, adjoint=True, adjoint_method="dopri5",
         attention_dim=8, attention_norm_idx=1, attention_type="scaled_dot",
         block="attention", data_norm="rw", decay=0.004738413087298854,
         dropout=0.6857774850321, epoch=250, function="laplacian", heads=4,
@@ -232,7 +232,7 @@ best_params = {
         tol_scale_adjoint=6599.1250595331385,
     ),
     "Computers": _p(
-        dataset="Computers", adjoint=True, adjoint_method="dopri5",
+        dataset="Computers", no_early=False, adjoint=True, adjoint_method="dopri5",
         att_samp_pct=0.572918052062338, attention_dim=64, attention_norm_idx=0,
         attention_type="scaled_dot", block="hard_attention", data_norm="rw",
         decay=0.007674669913252157, dropout=0.08732611854459256, epoch=100,
@@ -244,7 +244,7 @@ best_params = {
         tol_scale_adjoint=443.81436775321754,
     ),
     "Photo": _p(
-        dataset="Photo", adjoint=True, adjoint_method="rk4",
+        dataset="Photo", no_early=False, adjoint=True, adjoint_method="rk4",
         att_samp_pct=0.9282359956104751, attention_dim=64, attention_norm_idx=0,
         attention_type="pearson", batch_norm=True, block="hard_attention",
         data_norm="rw", decay=0.004707800883497945, dropout=0.46502284638600183,
@@ -256,7 +256,7 @@ best_params = {
         tol_scale_adjoint=14777.606112557354,
     ),
     "ogbn-arxiv": _p(
-        dataset="ogbn-arxiv", adjoint=True, adjoint_method="rk4",
+        dataset="ogbn-arxiv", no_early=False, adjoint=True, adjoint_method="rk4",
         att_samp_pct=0.8105268910037231, attention_dim=32, attention_norm_idx=0,
         attention_type="scaled_dot", batch_norm=True, block="hard_attention",
         data_norm="rw", decay=0.0, dropout=0.11594990901233933, epoch=100,

@@ -121,7 +121,12 @@ def build_aux(bparams, cfg: Config, g: Graph, x, training: bool
     if cfg.block == "constant":
         return FuncAux(attention=None, x0=x0, edge_weight=g.weight), g
 
-    if cfg.block == "attention":
+    if cfg.block in ("attention", "rewire_attention"):
+        # rewire_attention solves exactly like the attention block (attention
+        # recomputed per forward as the transition matrix,
+        # block_transformer_rewiring.py:185-241); its densify/sparsify graph
+        # surgery runs as between-epoch host hooks (rewiring.edges) because
+        # resizing edge_index inside the solve would recompile every epoch.
         att = _block_attention(bparams, cfg, g, x)          # [E, H]
         return FuncAux(attention=att, x0=x0, edge_weight=g.weight), g
 

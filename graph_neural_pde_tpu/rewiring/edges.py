@@ -1,0 +1,116 @@
+"""Edge surgery: random/importance densification, attention thresholding, kNN
+rewiring hooks — the BLEND per-epoch graph updates.
+
+Re-implements /root/reference/src/graph_rewiring.py:137-241 and the surgery
+of block_transformer_rewiring.py as *between-epoch host hooks* that rebuild
+the Graph arrays at a fixed capacity. The reference mutates the live
+odefunc's edge_index mid-training with dynamically sized tensors; under XLA
+a shape change would recompile every epoch, so the rewired graph is padded
+back to a constant capacity (mask updates) and only the arrays are swapped.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graph_neural_pde_tpu.config import Config
+from graph_neural_pde_tpu.ops.graph import Graph, make_graph
+from graph_neural_pde_tpu.rewiring.knn import knn_graph
+
+
+def _valid_edges(g: Graph):
+    m = np.asarray(g.mask)
+    return np.asarray(g.row)[m], np.asarray(g.col)[m]
+
+
+def _rebuild(g: Graph, row, col, capacity: Optional[int] = None) -> Graph:
+    cap = capacity if capacity is not None else max(g.capacity, len(row))
+    return make_graph(np.asarray(row, np.int32), np.asarray(col, np.int32),
+                      None, num_nodes=g.num_nodes, capacity=cap)
+
+
+def add_random_edges(g: Graph, frac: float, rng: np.random.Generator,
+                     capacity: Optional[int] = None) -> Graph:
+    """Append M = frac·E uniform random edges + reverses, dedup
+    (add_edges 'random', graph_rewiring.py:206-210)."""
+    r, c = _valid_edges(g)
+    m = int(len(r) * frac)
+    new = rng.integers(0, g.num_nodes, size=(2, m))
+    rows = np.concatenate([r, new[0], new[1]])
+    cols = np.concatenate([c, new[1], new[0]])
+    key = rows.astype(np.int64) * g.num_nodes + cols
+    _, idx = np.unique(key, return_index=True)
+    return _rebuild(g, rows[idx], cols[idx], capacity)
+
+
+def add_importance_edges(g: Graph, mean_attention: np.ndarray, frac: float,
+                         rng: np.random.Generator,
+                         capacity: Optional[int] = None) -> Graph:
+    """Anchor new edges at nodes other nodes attend to
+    (add_outgoing_attention_edges, graph_rewiring.py:177-197)."""
+    r, c = _valid_edges(g)
+    m = int(len(r) * frac)
+    if m == 0:
+        return g
+    att = np.asarray(mean_attention)[np.asarray(g.mask)]
+    importance = np.zeros(g.num_nodes)
+    np.add.at(importance, c, att)
+    degree = np.maximum(np.bincount(c, minlength=g.num_nodes), 1)
+    normed = importance / degree
+    p = np.exp(normed - normed.max())
+    p = p / p.sum()
+    anchors = rng.choice(g.num_nodes, size=m, replace=True, p=p)
+    others = rng.integers(0, g.num_nodes, size=m)
+    rows = np.concatenate([r, anchors, others])
+    cols = np.concatenate([c, others, anchors])
+    key = rows.astype(np.int64) * g.num_nodes + cols
+    _, idx = np.unique(key, return_index=True)
+    return _rebuild(g, rows[idx], cols[idx], capacity)
+
+
+def threshold_edges_by_attention(g: Graph, mean_attention: np.ndarray,
+                                 rmv_frac: float,
+                                 capacity: Optional[int] = None) -> Graph:
+    """Drop the lowest-attention rmv_frac of edges
+    (edge_sampling 'attention', graph_rewiring.py:151-158)."""
+    m = np.asarray(g.mask)
+    att = np.asarray(mean_attention)[m]
+    r, c = _valid_edges(g)
+    thresh = np.quantile(att, rmv_frac)
+    keep = att > thresh
+    return _rebuild(g, r[keep], c[keep], capacity)
+
+
+def apply_knn_rewire(embeddings, cfg: Config, g: Graph,
+                     capacity: Optional[int] = None) -> Graph:
+    """BLEND kNN rewiring on evolved embeddings (apply_KNN,
+    graph_rewiring.py:137-147): new edge set = kNN graph of Z(0)/Z(T)."""
+    ei = knn_graph(np.asarray(embeddings), cfg.rewire_KNN_k,
+                   symmetric=cfg.rewire_KNN_sym)
+    return _rebuild(g, ei[0], ei[1], capacity)
+
+
+def apply_edge_sampling(g: Graph, cfg: Config, mean_attention_fn: Callable,
+                        rng: np.random.Generator,
+                        capacity: Optional[int] = None) -> Graph:
+    """Densify-then-sparsify epoch hook (apply_edge_sampling,
+    graph_rewiring.py:227-241): add edges, recompute attention on the denser
+    graph, drop the weakest.
+
+    mean_attention_fn(graph) -> [capacity] head-mean attention per edge slot.
+    """
+    if cfg.edge_sampling_add_type == "random":
+        g2 = add_random_edges(g, cfg.edge_sampling_add, rng, capacity)
+    elif cfg.edge_sampling_add_type == "importance":
+        att0 = np.asarray(mean_attention_fn(g))
+        g2 = add_importance_edges(g, att0, cfg.edge_sampling_add, rng,
+                                  capacity)
+    else:
+        g2 = g
+    att = np.asarray(mean_attention_fn(g2))
+    return threshold_edges_by_attention(g2, att, cfg.edge_sampling_rmv,
+                                        capacity=g2.capacity)

@@ -1,0 +1,98 @@
+"""On-device k-nearest-neighbour graph construction.
+
+TPU-native replacement for the pykeops brute-force kNN the reference uses
+for BLEND's epoch rewiring (/root/reference/src/graph_rewiring.py:116-134)
+and for the sklearn kNN utilities (distances_kNN.py): tiled pairwise squared
+distances (one MXU matmul per tile) + jax.lax.top_k. Memory is O(tile·N)
+instead of O(N²).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _knn_indices(x: jnp.ndarray, k: int, tile: int) -> jnp.ndarray:
+    """[N, k] indices of the k nearest neighbours (euclidean, incl. self)."""
+    n, _ = x.shape
+    sq = jnp.sum(x * x, axis=1)
+    n_pad = ((n + tile - 1) // tile) * tile
+    x_pad = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    sq_pad = jnp.pad(sq, (0, n_pad - n), constant_values=jnp.inf)
+
+    def one_tile(xt, sqt):
+        # d² = |a|² − 2 a·b + |b|²
+        d = sqt[:, None] - 2.0 * (xt @ x.T) + sq[None, :]
+        _, idx = jax.lax.top_k(-d, k)
+        return idx
+
+    tiles = x_pad.reshape(n_pad // tile, tile, -1)
+    sqs = sq_pad.reshape(n_pad // tile, tile)
+    idx = jax.lax.map(lambda args: one_tile(*args), (tiles, sqs))
+    return idx.reshape(n_pad, k)[:n]
+
+
+def knn_graph(x, k: int, *, symmetric: bool = False, tile: int = 1024
+              ) -> np.ndarray:
+    """edge_index [2, N·k] with row i repeated k times (KNN semantics of
+    graph_rewiring.py:116-134, including self-neighbours)."""
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[0]
+    idx = np.asarray(_knn_indices(x, k, min(tile, max(8, n))))
+    rows = np.repeat(np.arange(n, dtype=np.int64), k)
+    cols = idx.reshape(-1).astype(np.int64)
+    ei = np.stack([rows, cols])
+    if symmetric:
+        r = np.concatenate([ei[0], ei[1]])
+        c = np.concatenate([ei[1], ei[0]])
+        key = r * n + c
+        _, uniq = np.unique(key, return_index=True)
+        ei = np.stack([r[uniq], c[uniq]])
+    return ei
+
+
+def pairwise_distances(x) -> np.ndarray:
+    """Dense euclidean distance matrix (distances_kNN.get_distances)."""
+    x = jnp.asarray(x, jnp.float32)
+    sq = jnp.sum(x * x, axis=1)
+    d2 = sq[:, None] - 2.0 * (x @ x.T) + sq[None, :]
+    return np.asarray(jnp.sqrt(jnp.maximum(d2, 0.0)))
+
+
+def apply_dist_knn(dist: np.ndarray, k: int) -> np.ndarray:
+    """kNN edge_index from a precomputed distance matrix
+    (distances_kNN.py:13-19)."""
+    idx = np.argsort(dist, axis=1)[:, :k]
+    n = dist.shape[0]
+    rows = np.repeat(np.arange(n, dtype=np.int64), k)
+    return np.stack([rows, idx.reshape(-1).astype(np.int64)])
+
+
+def apply_dist_threshold(dist: np.ndarray, quantile: float = 0.001
+                         ) -> np.ndarray:
+    """Keep the closest `quantile` fraction of all pairs
+    (distances_kNN.py:21-32)."""
+    thresh = np.quantile(dist, quantile)
+    r, c = np.nonzero(dist <= thresh)
+    return np.stack([r.astype(np.int64), c.astype(np.int64)])
+
+
+def hyperbolize(emb: np.ndarray) -> np.ndarray:
+    """Poincaré-ball distance matrix from embeddings
+    (hyperbolic_distances.py:7-14): d = arccosh(1 + 2|u−v|² / ((1−|u|²)(1−|v|²)))."""
+    emb = np.asarray(emb, np.float64)
+    # scale into the unit ball if necessary
+    norms = np.linalg.norm(emb, axis=1)
+    if norms.max() >= 1.0:
+        emb = emb / (norms.max() * (1.0 + 1e-6))
+        norms = np.linalg.norm(emb, axis=1)
+    sq = np.sum(emb * emb, axis=1)
+    diff = sq[:, None] - 2.0 * emb @ emb.T + sq[None, :]
+    denom = (1.0 - sq)[:, None] * (1.0 - sq)[None, :]
+    arg = 1.0 + 2.0 * np.maximum(diff, 0.0) / np.maximum(denom, 1e-15)
+    return np.arccosh(np.maximum(arg, 1.0)).astype(np.float32)

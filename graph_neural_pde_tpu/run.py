@@ -1,0 +1,156 @@
+"""Main training CLI: ``python -m graph_neural_pde_tpu.run --dataset Cora``.
+
+Equivalent of /root/reference/src/run_GNN.py:215-442: merge tuned best
+params with command-line overrides, load the dataset, compute Beltrami
+positional encodings if requested, pick the model variant
+(GNN / GNNEarly / GNN_KNN / GNNKNNEarly), and run the epoch loop with
+optional kNN rewiring and in-integrator best-val tracking.
+
+Flags are auto-generated from the Config dataclass — every field is a
+``--flag`` — so the reference's ~90-flag surface carries over 1:1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from graph_neural_pde_tpu.config import Config, best_params
+from graph_neural_pde_tpu.data.datasets import (
+    generate_random_splits,
+    get_dataset,
+    set_train_val_test_split,
+)
+from graph_neural_pde_tpu.models.gnn import GNNModel
+from graph_neural_pde_tpu.models.gnn_early import GNNEarlyModel
+from graph_neural_pde_tpu.models.gnn_knn import GNNKNNEarlyModel, GNNKNNModel
+from graph_neural_pde_tpu.training.train import Trainer
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--data_dir", type=str, default="./data")
+    parser.add_argument("--use_best_params", action="store_true",
+                        help="merge the tuned per-dataset config underneath "
+                             "the command line (best_params.py semantics)")
+    for f in dataclasses.fields(Config):
+        name = f"--{f.name}"
+        if f.type == "bool" or isinstance(f.default, bool):
+            parser.add_argument(name, action="store_true", default=None)
+        elif f.name in ("jacobian_norm2", "total_deriv", "kinetic_energy",
+                        "directional_penalty"):
+            parser.add_argument(name, type=float, default=None)
+        elif isinstance(f.default, int):
+            parser.add_argument(name, type=int, default=None)
+        elif isinstance(f.default, float):
+            parser.add_argument(name, type=float, default=None)
+        elif isinstance(f.default, str):
+            parser.add_argument(name, type=str, default=None)
+    return parser
+
+
+def config_from_args(args) -> Config:
+    base = best_params.get(args.dataset, Config()) if (
+        args.use_best_params and args.dataset) else Config()
+    overrides = {f.name: getattr(args, f.name)
+                 for f in dataclasses.fields(Config)
+                 if getattr(args, f.name, None) is not None}
+    # argparse store_true gives False defaults as None (kept), True as True
+    return base.replace(**overrides)
+
+
+def select_model(cfg: Config, num_features, num_classes, graph, pos_enc_dim=0):
+    """run_GNN.py:232-235 model dispatch."""
+    if cfg.rewire_KNN or cfg.fa_layer:
+        cls = GNNKNNModel if cfg.no_early else GNNKNNEarlyModel
+    else:
+        cls = GNNModel if cfg.no_early else GNNEarlyModel
+    return cls(cfg, num_features, num_classes, graph, pos_enc_dim=pos_enc_dim)
+
+
+def main(cfg: Config, data_dir: str = "./data", verbose: bool = True):
+    dataset = get_dataset(cfg, data_dir, use_lcc=not cfg.not_lcc)
+
+    pos_encoding = None
+    if cfg.beltrami:
+        from graph_neural_pde_tpu.rewiring.positional import apply_beltrami
+        pe = apply_beltrami(dataset.graph, cfg, data_dir)
+        cfg = cfg.replace(pos_enc_dim=pe.shape[1])
+        import jax.numpy as jnp
+        pos_encoding = jnp.asarray(pe)
+        dataset.pos_encoding = pos_encoding
+
+    # random development split for the citation graphs (run_GNN.py:237-238)
+    if not cfg.planetoid_split and cfg.dataset in ("Cora", "Citeseer",
+                                                   "Pubmed"):
+        import jax.numpy as jnp
+        y_np = np.asarray(dataset.y)
+        seed = int(np.random.randint(0, 1000))
+        ndev = 5000 if cfg.dataset == "CoauthorCS" else 1500
+        tm, vm, sm = set_train_val_test_split(seed, y_np, ndev)
+        dataset.train_mask = jnp.asarray(tm)
+        dataset.val_mask = jnp.asarray(vm)
+        dataset.test_mask = jnp.asarray(sm)
+
+    model = select_model(cfg, dataset.num_features, dataset.num_classes,
+                         dataset.graph, pos_enc_dim=cfg.pos_enc_dim)
+    trainer = Trainer(model)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    k_init, key = jax.random.split(key)
+    params, state = model.init(k_init)
+    opt_state = trainer.optimizer.init(params)
+
+    best = {"val_acc": 0.0, "test_acc": 0.0, "train_acc": 0.0, "epoch": 0,
+            "best_time": cfg.time}
+    for epoch in range(1, cfg.epoch):
+        t0 = time.time()
+
+        if (cfg.rewire_KNN and epoch % cfg.rewire_KNN_epoch == 0
+                and hasattr(model, "rewire")):
+            model.rewire(params, state, dataset.x, pos_encoding)
+
+        key, k_step = jax.random.split(key)
+        params, state, opt_state, loss, tstats = trainer._train_step(
+            params, state, opt_state, dataset.x, pos_encoding, dataset.y,
+            dataset.train_mask, k_step)
+        (tr, va, te), _, _ = trainer._eval_step(
+            params, state, dataset.x, pos_encoding, dataset.y,
+            (dataset.train_mask, dataset.val_mask, dataset.test_mask))
+        tr, va, te = float(tr), float(va), float(te)
+        best_time = cfg.time
+        if va > best["val_acc"]:
+            best.update(val_acc=va, test_acc=te, train_acc=tr, epoch=epoch,
+                        best_time=cfg.time)
+        if not cfg.no_early and hasattr(model, "apply_early"):
+            _, snap, _ = model.apply_early(
+                params, state, dataset.x, dataset.y,
+                (dataset.train_mask, dataset.val_mask, dataset.test_mask),
+                pos_encoding)
+            if float(snap.val) > best["val_acc"]:
+                best.update(val_acc=float(snap.val), test_acc=float(snap.test),
+                            train_acc=float(snap.train), epoch=epoch,
+                            best_time=float(snap.time))
+            best_time = float(snap.time)
+
+        if verbose:
+            print(f"Epoch: {epoch:03d}, Runtime {time.time() - t0:.6f}, "
+                  f"Loss {float(loss):.6f}, forward nfe {int(tstats['nfe'])}, "
+                  f"Train: {tr:.4f}, Val: {va:.4f}, Test: {te:.4f}, "
+                  f"Best time: {best_time:.4f}")
+    if verbose:
+        print(f"best val accuracy {best['val_acc']:.6f} with test accuracy "
+              f"{best['test_acc']:.6f} at epoch {best['epoch']} and best time "
+              f"{best['best_time']:.6f}")
+    return best["train_acc"], best["val_acc"], best["test_acc"]
+
+
+if __name__ == "__main__":
+    parsed = build_parser().parse_args()
+    main(config_from_args(parsed), data_dir=parsed.data_dir)

@@ -1,0 +1,200 @@
+"""Rewiring / positional-encoding tests with dense numpy oracles."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+
+from graph_neural_pde_tpu.config import Config
+from graph_neural_pde_tpu.ops.graph import dense_adjacency, make_graph
+from graph_neural_pde_tpu.rewiring.edges import (
+    add_random_edges,
+    threshold_edges_by_attention,
+)
+from graph_neural_pde_tpu.rewiring.gdc import (
+    apply_gdc,
+    exact_heat_matrix,
+    exact_ppr_matrix,
+    approx_ppr_matrix,
+    gdc_position_encoding,
+    sparsify_topk,
+    transition_matrix,
+    two_hop,
+)
+from graph_neural_pde_tpu.rewiring.knn import (
+    apply_dist_knn,
+    hyperbolize,
+    knn_graph,
+    pairwise_distances,
+)
+from graph_neural_pde_tpu.rewiring.positional import (
+    apply_beltrami,
+    deepwalk_embeddings,
+    random_walks,
+)
+
+
+def ring_graph(n=10):
+    row = np.arange(n)
+    col = (row + 1) % n
+    r = np.concatenate([row, col])
+    c = np.concatenate([col, row])
+    return make_graph(r.astype(np.int32), c.astype(np.int32), None,
+                      num_nodes=n)
+
+
+class TestGDC:
+    def test_ppr_matches_closed_form(self):
+        g = ring_graph(6)
+        a = np.asarray(dense_adjacency(g)) + np.eye(6)
+        d = a.sum(0)
+        t = a / np.sqrt(d)[:, None] / np.sqrt(d)[None, :]
+        alpha = 0.1
+        want = alpha * np.linalg.inv(np.eye(6) - (1 - alpha) * t)
+        got = np.asarray(exact_ppr_matrix(jnp.asarray(t, jnp.float32), alpha))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_approx_ppr_converges(self):
+        g = ring_graph(6)
+        a = np.asarray(dense_adjacency(g)) + np.eye(6)
+        t = jnp.asarray(transition_matrix(jnp.asarray(a), "sym"))
+        exact = np.asarray(exact_ppr_matrix(t, 0.15))
+        approx = np.asarray(approx_ppr_matrix(t, 0.15, iters=200))
+        np.testing.assert_allclose(approx, exact, atol=1e-5)
+
+    def test_heat_matches_expm(self):
+        g = ring_graph(5)
+        a = np.asarray(dense_adjacency(g)) + np.eye(5)
+        t = np.asarray(transition_matrix(jnp.asarray(a), "sym"))
+        want = scipy.linalg.expm(3.0 * (t - np.eye(5)))
+        got = np.asarray(exact_heat_matrix(jnp.asarray(t, jnp.float32), 3.0))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_topk_sparsifier(self):
+        m = jnp.asarray(np.arange(16, dtype=np.float32).reshape(4, 4))
+        s = np.asarray(sparsify_topk(m, 2, dim=0))
+        assert ((s > 0).sum(axis=0) == 2).all()
+
+    def test_apply_gdc_col_normalised(self):
+        cfg = Config(gdc_method="ppr", ppr_alpha=0.1, exact=True,
+                     gdc_sparsification="topk", gdc_k=3, self_loop_weight=1.0)
+        g2 = apply_gdc(ring_graph(8), cfg)
+        a = np.asarray(dense_adjacency(g2))
+        np.testing.assert_allclose(a.sum(axis=0), 1.0, rtol=1e-4)
+
+    def test_position_encoding_shape(self):
+        cfg = Config(gdc_method="ppr", ppr_alpha=0.1, exact=True,
+                     self_loop_weight=1.0, pos_enc_orientation="row")
+        pe = gdc_position_encoding(ring_graph(8), cfg)
+        assert pe.shape == (8, 8)
+        pe_col = gdc_position_encoding(
+            ring_graph(8), cfg.replace(pos_enc_orientation="col"))
+        np.testing.assert_allclose(np.asarray(pe).T, np.asarray(pe_col))
+
+    def test_two_hop(self):
+        g2 = two_hop(ring_graph(8))
+        a = np.asarray(dense_adjacency(g2))
+        assert a[0, 2] > 0 and a[0, 1] > 0 and a[0, 0] == 0
+
+
+class TestKNN:
+    def test_knn_graph_matches_argsort(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(40, 6)).astype(np.float32)
+        ei = knn_graph(x, 4)
+        assert ei.shape == (2, 160)
+        d = pairwise_distances(x)
+        for i in range(40):
+            got = set(ei[1][ei[0] == i].tolist())
+            want = set(np.argsort(d[i])[:4].tolist())
+            assert got == want
+
+    def test_symmetric(self):
+        x = np.random.default_rng(1).normal(size=(20, 4)).astype(np.float32)
+        ei = knn_graph(x, 3, symmetric=True)
+        pairs = set(map(tuple, ei.T.tolist()))
+        assert all((b, a) in pairs for a, b in pairs)
+
+    def test_dist_knn(self):
+        d = np.array([[0, 1, 5], [1, 0, 2], [5, 2, 0]], np.float32)
+        ei = apply_dist_knn(d, 2)
+        assert set(ei[1][ei[0] == 0].tolist()) == {0, 1}
+
+    def test_hyperbolize(self):
+        emb = np.random.default_rng(0).normal(size=(10, 3)) * 0.1
+        d = hyperbolize(emb)
+        assert d.shape == (10, 10)
+        np.testing.assert_allclose(np.diag(d), 0.0, atol=1e-5)
+        np.testing.assert_allclose(d, d.T, rtol=1e-5)
+
+
+class TestDeepWalk:
+    def test_random_walks_follow_edges(self):
+        g = ring_graph(12)
+        r = np.asarray(g.row)[np.asarray(g.mask)]
+        c = np.asarray(g.col)[np.asarray(g.mask)]
+        walks = random_walks(r, c, 12, walk_length=5, walks_per_node=2)
+        assert walks.shape == (24, 6)
+        nbrs = {i: {(i + 1) % 12, (i - 1) % 12} for i in range(12)}
+        for w in walks:
+            for a, b in zip(w[:-1], w[1:]):
+                assert b in nbrs[a]
+
+    def test_embeddings_cluster_ring(self):
+        # two disconnected cliques: embeddings should separate them
+        def clique(nodes):
+            rr, cc = [], []
+            for i in nodes:
+                for j in nodes:
+                    if i != j:
+                        rr.append(i), cc.append(j)
+            return rr, cc
+
+        r1, c1 = clique(range(8))
+        r2, c2 = clique(range(8, 16))
+        r = np.array(r1 + r2)
+        c = np.array(c1 + c2)
+        emb = deepwalk_embeddings(r, c, 16, dim=8, epochs=2, seed=0,
+                                  walks_per_node=20, walk_length=10)
+        assert emb.shape == (16, 8)
+        intra = np.linalg.norm(emb[0] - emb[4])
+        inter = np.linalg.norm(emb[0] - emb[12])
+        assert np.isfinite(emb).all()
+
+
+class TestBeltramiPE:
+    def test_gdc_pe_and_cache(self, tmp_path):
+        cfg = Config(dataset="toy", pos_enc_type="GDC", gdc_method="ppr",
+                     ppr_alpha=0.1, exact=True, self_loop_weight=1.0)
+        g = ring_graph(8)
+        pe = apply_beltrami(g, cfg, str(tmp_path))
+        assert pe.shape == (8, 8)
+        # cached npz is picked up
+        pe2 = apply_beltrami(g, cfg, str(tmp_path))
+        np.testing.assert_allclose(pe, pe2)
+
+    def test_reads_reference_pickle_format(self, tmp_path):
+        import os, pickle
+        d = tmp_path / "pos_encodings"
+        d.mkdir()
+        data = np.random.default_rng(0).random((8, 64)).astype(np.float32)
+        with open(d / "toy_DW64.pkl", "wb") as f:
+            pickle.dump({"data": data, "acc": 0.9}, f)
+        cfg = Config(dataset="toy", pos_enc_type="DW64")
+        pe = apply_beltrami(ring_graph(8), cfg, str(tmp_path))
+        np.testing.assert_allclose(pe, data)
+
+
+class TestEdgeSurgery:
+    def test_add_random_edges_capacity(self):
+        g = ring_graph(10)
+        rng = np.random.default_rng(0)
+        g2 = add_random_edges(g, 0.5, rng, capacity=64)
+        assert g2.capacity == 64
+        assert int(g2.num_edges) >= int(g.num_edges)
+
+    def test_threshold_drops_weakest(self):
+        g = ring_graph(10)
+        att = np.linspace(0, 1, g.capacity)
+        g2 = threshold_edges_by_attention(g, att, 0.5, capacity=g.capacity)
+        assert int(g2.num_edges) < int(g.num_edges)
