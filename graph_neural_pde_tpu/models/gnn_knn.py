@@ -65,10 +65,21 @@ class GNNKNNModel(GNNModel):
         raise ValueError("Need to set rewire_KNN_T")
 
     def rewire(self, params, state, x, pos_encoding=None) -> Graph:
-        """New kNN graph from the evolved embeddings; swap via self.graph."""
+        """New kNN graph from the evolved embeddings; swap via self.graph.
+
+        The rewired edges are re-normalised through prepare_graph (the
+        reference leaves stale edge weights in the odefunc after swapping
+        edge_index; the attention path recomputes weights either way). The
+        capacity stays constant so no solve recompiles.
+        """
+        from graph_neural_pde_tpu.models.blocks import prepare_graph
         z = self.embeddings_for_rewiring(params, state, x, pos_encoding)
-        self.graph = apply_knn_rewire(np.asarray(z), self.cfg, self.graph,
-                                      capacity=self.graph.capacity)
+        loops = self.graph.num_nodes if self.cfg.self_loop_weight > 0 else 0
+        raw_cap = max(self.graph.capacity - loops,
+                      self.graph.num_nodes * self.cfg.rewire_KNN_k)
+        raw = apply_knn_rewire(np.asarray(z), self.cfg, self.graph,
+                               capacity=raw_cap)
+        self.graph = prepare_graph(self.cfg, raw)
         return self.graph
 
     # -- forward with fa layer ----------------------------------------------

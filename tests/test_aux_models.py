@@ -1,0 +1,103 @@
+"""CGNN baseline, image pipeline, and GNN_KNN model tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graph_neural_pde_tpu.config import Config
+from graph_neural_pde_tpu.data.image import (
+    batched_grid_graph,
+    grid_edge_index,
+    load_image_dataset,
+    synthetic_images,
+)
+from graph_neural_pde_tpu.data.synthetic import make_sbm_dataset
+from graph_neural_pde_tpu.models.cgnn import CGNNModel, cgnn_best_params
+from graph_neural_pde_tpu.models.gnn_knn import GNNKNNModel
+from graph_neural_pde_tpu.training.run_image import train_image
+from graph_neural_pde_tpu.training.train import Trainer
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    return make_sbm_dataset(num_nodes=90, num_classes=3, num_features=10,
+                            seed=3)
+
+
+class TestCGNN:
+    def test_forward_and_learning(self, dataset):
+        cfg = Config(hidden_dim=12, time=4.0, alpha=0.9, self_loop_weight=0.6,
+                     input_dropout=0.0, dropout=0.0, lr=0.02, decay=5e-4,
+                     optimizer="rmsprop", max_nfe=3000)
+        model = CGNNModel(cfg, dataset.num_features, dataset.num_classes,
+                          dataset.graph)
+        trainer = Trainer(model)
+        _, _, best, logs = trainer.fit(dataset, epochs=20, verbose=False)
+        assert best["val_acc"] > 0.55, best
+        assert logs[0].fwd_nfe > 0
+
+    def test_best_params_present(self):
+        assert set(cgnn_best_params) == {"Cora", "Citeseer", "Pubmed"}
+        assert cgnn_best_params["Cora"]["time"] == 23.9
+
+
+class TestImageGraph:
+    def test_grid_edge_counts_4n(self):
+        ei = grid_edge_index(5, 7)
+        assert ei.shape[1] == 2 * ((7 - 1) * 5 + 7 * (5 - 1))
+
+    def test_grid_edge_counts_8n(self):
+        ei = grid_edge_index(5, 7, diagonals=True)
+        assert ei.shape[1] == 2 * ((7 - 1) * 5 + 7 * (5 - 1)) + 4 * 6 * 4
+
+    def test_batched_block_diagonal(self):
+        g = batched_grid_graph(3, 4, 4)
+        r = np.asarray(g.row)[np.asarray(g.mask)]
+        c = np.asarray(g.col)[np.asarray(g.mask)]
+        # no cross-image edges
+        assert ((r // 16) == (c // 16)).all()
+
+    def test_image_training_learns(self):
+        cfg = Config(block="constant", function="laplacian", method="rk4",
+                     step_size=1.0, time=2.0, input_dropout=0.0, dropout=0.0,
+                     lr=0.02, decay=0.0, self_loop_weight=1.0)
+        _, history = train_image(cfg, "/tmp/no-such-dir", batch_size=32,
+                                 epochs=3, max_batches=6, verbose=False)
+        assert history[-1][1] > history[0][1] or history[-1][1] > 0.5
+
+    def test_plot_paths(self):
+        from graph_neural_pde_tpu.models.gnn_image import GNNImageModel
+        data = load_image_dataset("/tmp/no-such-dir", batch_size=8)
+        cfg = Config(block="constant", function="laplacian", method="rk4",
+                     step_size=1.0, time=1.0, input_dropout=0.0,
+                     self_loop_weight=1.0)
+        model = GNNImageModel(cfg, data.graph, data.h, data.w, data.c, 4, 8)
+        params, _ = model.init(jax.random.PRNGKey(0))
+        x, y = next(iter(data.batches()))
+        paths = model.forward_plot_path(params, jnp.asarray(x), frames=3)
+        assert paths.shape == (8, 4, data.h * data.w * data.c)
+
+
+class TestGNNKNN:
+    def test_rewire_and_fa_layer(self, dataset):
+        cfg = Config(hidden_dim=12, attention_dim=12, heads=3, method="rk4",
+                     step_size=0.5, time=1.0, input_dropout=0.0, dropout=0.0,
+                     block="attention", function="laplacian", rewire_KNN=True,
+                     rewire_KNN_k=8, rewire_KNN_T="T0", fa_layer=True,
+                     max_nfe=2000)
+        model = GNNKNNModel(cfg, dataset.num_features, dataset.num_classes,
+                            dataset.graph)
+        params, state = model.init(jax.random.PRNGKey(0))
+        model.build_fa_graph(np.random.default_rng(0))
+        logits, _, stats, _ = model.apply(params, state, dataset.x,
+                                          training=True,
+                                          rng=jax.random.PRNGKey(1))
+        assert logits.shape == (90, 3)
+        old_capacity = model.graph.capacity
+        g2 = model.rewire(params, state, dataset.x)
+        assert g2.capacity == old_capacity  # no recompile after rewiring
+        # forward still works on the rewired graph
+        logits2, _, _, _ = model.apply(params, state, dataset.x,
+                                       training=False)
+        assert np.isfinite(np.asarray(logits2)).all()
