@@ -68,7 +68,24 @@ class BlockPlan:
 
 def _build(row, col, weight, tags, num_nodes, block_n, chunk):
     """Core builder. ``tags`` (int64 payload per edge) rides along the sort;
-    returns (plan, tags_out) with tags_out[i] = -1 on padding slots."""
+    returns (plan, tags_out) with tags_out[i] = -1 on padding slots.
+
+    Uses the native C++ runtime (runtime/graphcore.cpp) when built — the
+    python path below is the reference implementation and fallback."""
+    from graph_neural_pde_tpu import runtime as native
+    nat = native.build_block_plan_native(row, col, weight, num_nodes,
+                                         block_n, chunk)
+    if nat is not None:
+        (row_l, col_l, w_out, valid, row_g, col_g, slot_tags,
+         chunk_rows, chunk_cols, n_pad) = nat
+        # slot_tags index into the *input* edge order; map through `tags`
+        tags_out = np.where(slot_tags >= 0,
+                            np.asarray(tags)[np.maximum(slot_tags, 0)], -1)
+        plan = BlockPlan(row_local=row_l, col_local=col_l, weight=w_out,
+                         valid=valid, row=row_g, col=col_g,
+                         chunk_rows=chunk_rows, chunk_cols=chunk_cols,
+                         block_n=block_n, chunk=chunk, num_nodes=n_pad)
+        return plan, tags_out
     n_pad = _ceil_to(max(num_nodes, 1), block_n)
     nblocks = n_pad // block_n
     rb = row // block_n

@@ -66,9 +66,16 @@ def deepwalk_embeddings(row, col, num_nodes: int, *, dim: int = 64,
                         epochs: int = 3, lr: float = 0.01, seed: int = 0
                         ) -> np.ndarray:
     """Skip-gram-with-negative-sampling embeddings trained in JAX."""
-    walks = random_walks(np.asarray(row), np.asarray(col), num_nodes,
-                         walk_length=walk_length,
-                         walks_per_node=walks_per_node, seed=seed)
+    from graph_neural_pde_tpu import runtime as native
+    if native.available():
+        walks = native.random_walks(np.asarray(row), np.asarray(col),
+                                    num_nodes, walk_length=walk_length,
+                                    walks_per_node=walks_per_node,
+                                    seed=seed + 1)
+    else:
+        walks = random_walks(np.asarray(row), np.asarray(col), num_nodes,
+                             walk_length=walk_length,
+                             walks_per_node=walks_per_node, seed=seed)
     # (center, context) pairs within the window
     centers, contexts = [], []
     for off in range(1, context + 1):
