@@ -24,6 +24,7 @@ from graph_neural_pde_tpu.solvers.tree_math import tree_zeros_like
 
 FIXED_METHODS = ("euler", "midpoint", "heun2", "rk4")
 ADAPTIVE_METHODS = ("dopri5", "adaptive_heun", "bosh3")
+MULTISTEP_METHODS = ("explicit_adams", "implicit_adams")
 
 
 @dataclass(frozen=True)
@@ -50,8 +51,8 @@ class SolverOptions:
     def from_config(cfg, adjoint: bool = False) -> "SolverOptions":
         """Build from a Config, applying the reference's max_nfe → trip bound."""
         method = cfg.adjoint_method if adjoint else cfg.method
-        tab = TABLEAUS[method]
-        max_steps = max(cfg.max_nfe // max(tab.evals_per_step, 1), 4)
+        evals = TABLEAUS[method].evals_per_step if method in TABLEAUS else 2
+        max_steps = max(cfg.max_nfe // max(evals, 1), 4)
         return SolverOptions(
             method=method,
             rtol=cfg.rtol_adjoint if adjoint else cfg.rtol,
@@ -73,6 +74,11 @@ def _solve(func: Callable, opts: SolverOptions, t0: float, t1: float,
         return odeint_adaptive(func, opts.tableau, t0, t1, opts.rtol,
                                opts.atol, opts.max_steps, opts.first_step,
                                params, y0)
+    if opts.method in MULTISTEP_METHODS:
+        from graph_neural_pde_tpu.solvers.multistep import odeint_adams
+        return odeint_adams(func, params, y0, t0, t1,
+                            step_size=opts.step_size,
+                            implicit=(opts.method == "implicit_adams"))
     raise ValueError(f"unknown solver method '{opts.method}'")
 
 

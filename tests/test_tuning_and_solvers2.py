@@ -1,0 +1,128 @@
+"""Adams solvers, sweep runner, checkpointing, stats."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graph_neural_pde_tpu.config import Config
+from graph_neural_pde_tpu.data.synthetic import make_sbm_dataset
+from graph_neural_pde_tpu.solvers.api import SolverOptions, odeint
+from graph_neural_pde_tpu.solvers.multistep import odeint_adams
+from graph_neural_pde_tpu.training.tuning import (
+    run_best,
+    run_sweep,
+    sample_config,
+    set_search_space,
+)
+from graph_neural_pde_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from graph_neural_pde_tpu.utils.stats import aggregate_runs, mean_confidence_interval
+
+
+def linear_func(params, t, y):
+    return y @ params.T
+
+
+def make_problem():
+    a = np.array([[-0.6, 0.4], [0.1, -0.3]], np.float32)
+    y0 = np.array([[1.0, -0.5], [0.2, 0.8], [0.0, 1.0]], np.float32)
+    return jnp.asarray(a), jnp.asarray(y0)
+
+
+def exact(a, y0, T):
+    import scipy.linalg
+    return np.asarray(y0) @ scipy.linalg.expm(np.asarray(a).T * T)
+
+
+class TestAdams:
+    @pytest.mark.parametrize("implicit,tol", [(False, 5e-5), (True, 2e-5)])
+    def test_accuracy(self, implicit, tol):
+        a, y0 = make_problem()
+        T = 2.0
+        y1, stats = odeint_adams(linear_func, a, y0, 0.0, T, step_size=0.05,
+                                 implicit=implicit)
+        np.testing.assert_allclose(np.asarray(y1), exact(a, y0, T),
+                                   atol=tol, rtol=tol)
+        assert int(stats["nfe"]) > 0
+
+    def test_fourth_order_convergence(self):
+        a, y0 = make_problem()
+        T = 1.0
+        errs = []
+        for h in (0.25, 0.125):  # truncation >> f32 roundoff, AB dominates RK4 startup
+            y1, _ = odeint_adams(linear_func, a, y0, 0.0, T, step_size=h)
+            errs.append(np.abs(np.asarray(y1) - exact(a, y0, T)).max())
+        # AB4: halving h should cut the error by ~16x
+        assert errs[0] / max(errs[1], 1e-12) > 8
+
+    def test_via_api_dispatch(self):
+        a, y0 = make_problem()
+        for method in ("explicit_adams", "implicit_adams"):
+            opts = SolverOptions(method=method, step_size=0.1)
+            y1, _ = odeint(linear_func, a, y0, 0.0, 1.0, opts)
+            np.testing.assert_allclose(np.asarray(y1), exact(a, y0, 1.0),
+                                       atol=1e-3, rtol=1e-3)
+
+    def test_differentiable(self):
+        a, y0 = make_problem()
+
+        def loss(a_):
+            y1, _ = odeint_adams(linear_func, a_, y0, 0.0, 1.0,
+                                 step_size=0.1)
+            return jnp.sum(y1)
+
+        g = jax.grad(loss)(a)
+        assert np.isfinite(np.asarray(g)).all()
+
+
+class TestSweep:
+    def test_sweep_and_replay(self, tmp_path):
+        ds = make_sbm_dataset(num_nodes=60, num_classes=3, num_features=8,
+                              seed=4)
+        base = Config(dataset="Cora", hidden_dim=8, attention_dim=8, heads=2,
+                      method="rk4", step_size=0.5, time=1.0,
+                      input_dropout=0.0, dropout=0.0, max_nfe=2000)
+        space = {
+            "lr": lambda rng: float(rng.uniform(0.01, 0.05)),
+            "time": lambda rng: float(rng.choice([1.0, 2.0])),
+        }
+        trials = run_sweep(base, ds, num_samples=3, max_epochs=8,
+                           grace_period=4, num_splits=1, space=space,
+                           checkpoint_dir=str(tmp_path), verbose=False)
+        assert len(trials) == 3
+        assert trials[0].val_acc >= trials[-1].val_acc
+        assert (tmp_path / "trial_0.npz").exists()
+        out = run_best(trials[0].cfg, ds, reps=2, num_splits=1, epochs=6)
+        assert 0.0 <= out["val"]["mean"] <= 1.0 and out["val"]["n"] == 2
+
+    def test_search_space_sampling(self):
+        space = set_search_space("Cora")
+        rng = np.random.default_rng(0)
+        cfg = sample_config(Config(), space, rng)
+        assert cfg.attention_dim % cfg.heads == 0
+        assert 1e-3 <= cfg.lr <= 0.1
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        tree = {"a": jnp.arange(5.0), "b": {"c": jnp.ones((2, 3))}}
+        p = str(tmp_path / "ck.npz")
+        save_checkpoint(p, tree, metadata={"val_acc": 0.9})
+        restored, meta = load_checkpoint(p, tree)
+        np.testing.assert_allclose(np.asarray(restored["b"]["c"]),
+                                   np.ones((2, 3)))
+        assert meta["val_acc"] == 0.9
+
+
+class TestStats:
+    def test_ci_matches_reference_formula(self):
+        import scipy.stats
+        data = [0.8, 0.82, 0.79, 0.85]
+        h = mean_confidence_interval(data)
+        se = scipy.stats.sem(np.array(data))
+        want = se * scipy.stats.t.ppf(0.975, 3)
+        assert h == pytest.approx(want)
+
+    def test_aggregate(self):
+        out = aggregate_runs([1.0, 2.0, 3.0])
+        assert out["mean"] == 2.0 and out["n"] == 3
