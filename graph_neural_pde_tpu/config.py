@@ -134,6 +134,13 @@ class Config:
 
     # ---- TPU / framework knobs (new; no reference analogue) -------------
     dtype: str = "float32"             # state dtype; attention matmuls may use bf16
+    # fold the attention normalisation into the aggregation scatter when the
+    # normalisation axis equals the aggregation axis (attention_norm_idx==0):
+    # exact for square_plus (whose max is global by reference semantics,
+    # utils.py:196); for softmax it substitutes the global max for per-node
+    # maxes (identical result up to f32 underflow). Cuts the per-RHS indexed
+    # ops from ~6 to ~3 — indexed gathers/scatters are the TPU bottleneck.
+    fused_attention_agg: bool = True
     edge_pad_multiple: int = 512       # pad edge count to a multiple (static shapes)
     node_pad_multiple: int = 8         # pad node count to a multiple
     mesh_shape: Tuple[int, ...] = ()   # () = single chip; e.g. (8,) = 8-way edge sharding

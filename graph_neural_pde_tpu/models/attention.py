@@ -93,12 +93,15 @@ def _scores(cfg: Config, src: jax.Array, dst: jax.Array, d_k: int,
     raise ValueError(f"unknown attention_type '{at}'")
 
 
-def apply_transformer_attention(params, cfg: Config, x: jax.Array, g: Graph,
-                                edge_weight: Optional[jax.Array] = None):
-    """Returns (attention [E, H], values [N, H, d_k] | None).
+def transformer_scores(params, cfg: Config, x: jax.Array, g: Graph,
+                       edge_weight: Optional[jax.Array] = None):
+    """Raw per-edge, per-head scores (pre-normalisation) and values.
 
-    x may be [features ‖ positional ‖ labels] in the Beltrami regime
-    (function_transformer_attention.py:128-171).
+    Gathers happen on the *flat* [N, attention_dim] projections and reshape
+    per-head afterwards — on TPU an indexed gather's cost is set by the index
+    count, so wide contiguous rows are the efficient granule; gathering
+    [N, d_k, H] slices (the reference's layout) wastes most of each vector
+    load. Returns (prods [E, H], v [N, H, d_k] | None).
     """
     h = cfg.heads
     d_k = cfg.attention_dim // h
@@ -108,26 +111,45 @@ def apply_transformer_attention(params, cfg: Config, x: jax.Array, g: Graph,
         pos = x[:, cfg.feat_hidden_dim:label_index]
         feat = jnp.concatenate([x[:, :cfg.feat_hidden_dim], x[:, label_index:]],
                                axis=1)
-        qx = _heads(linear_apply(params["Qx"], feat), h, d_k)
-        kx = _heads(linear_apply(params["Kx"], feat), h, d_k)
-        qp = _heads(linear_apply(params["Qp"], pos), h, d_k)
-        kp = _heads(linear_apply(params["Kp"], pos), h, d_k)
-        sx = jnp.sum((qx[g.row] - kx[g.col]) ** 2, axis=-1)
-        sp = jnp.sum((qp[g.row] - kp[g.col]) ** 2, axis=-1)
+        # pack the row-side (Qx‖Qp) and col-side (Kx‖Kp) projections so each
+        # side costs one gather
+        q_pack = jnp.concatenate([linear_apply(params["Qx"], feat),
+                                  linear_apply(params["Qp"], pos)], axis=1)
+        k_pack = jnp.concatenate([linear_apply(params["Kx"], feat),
+                                  linear_apply(params["Kp"], pos)], axis=1)
+        src = q_pack[g.row]
+        dst = k_pack[g.col]
+        ad = cfg.attention_dim
+        sx = jnp.sum((src[:, :ad].reshape(-1, h, d_k)
+                      - dst[:, :ad].reshape(-1, h, d_k)) ** 2, axis=-1)
+        sp = jnp.sum((src[:, ad:].reshape(-1, h, d_k)
+                      - dst[:, ad:].reshape(-1, h, d_k)) ** 2, axis=-1)
         prods = (params["output_var_x"] ** 2
                  * jnp.exp(-sx / (2.0 * params["lengthscale_x"] ** 2))
                  * params["output_var_p"] ** 2
                  * jnp.exp(-sp / (2.0 * params["lengthscale_p"] ** 2)))
         v = None
     else:
-        q = _heads(linear_apply(params["Q"], x), h, d_k)
-        k = _heads(linear_apply(params["K"], x), h, d_k)
+        q = linear_apply(params["Q"], x)            # [N, att_dim]
+        k = linear_apply(params["K"], x)
         v = _heads(linear_apply(params["V"], x), h, d_k)
-        prods = _scores(cfg, q[g.row], k[g.col], d_k, params)
+        src = q[g.row].reshape(-1, h, d_k)
+        dst = k[g.col].reshape(-1, h, d_k)
+        prods = _scores(cfg, src, dst, d_k, params)
 
     if cfg.reweight_attention and edge_weight is not None:
         prods = prods * edge_weight[:, None]
+    return prods, v
 
+
+def apply_transformer_attention(params, cfg: Config, x: jax.Array, g: Graph,
+                                edge_weight: Optional[jax.Array] = None):
+    """Returns (attention [E, H], values [N, H, d_k] | None).
+
+    x may be [features ‖ positional ‖ labels] in the Beltrami regime
+    (function_transformer_attention.py:128-171).
+    """
+    prods, v = transformer_scores(params, cfg, x, g, edge_weight)
     norm_index = g.row if cfg.attention_norm_idx == 0 else g.col
     if cfg.square_plus:
         attention = segment_squareplus(prods, norm_index, g.num_nodes, g.mask)

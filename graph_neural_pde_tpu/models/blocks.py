@@ -55,8 +55,12 @@ def prepare_graph(cfg: Config, g: Graph) -> Graph:
     blocks: rw with norm_dim=1 (block_transformer_attention.py:13-16 etc.).
     """
     if cfg.block == "constant" and cfg.data_norm != "rw":
-        return gcn_norm_fill_val(g, fill_value=cfg.self_loop_weight)
-    return get_rw_adj(g, norm_dim=1, fill_value=cfg.self_loop_weight)
+        g = gcn_norm_fill_val(g, fill_value=cfg.self_loop_weight)
+    else:
+        g = get_rw_adj(g, norm_dim=1, fill_value=cfg.self_loop_weight)
+    # row-sorted edges let every per-row segment reduction take XLA's sorted
+    # fast path; order is irrelevant to all block/function semantics
+    return g.sort_by_row()
 
 
 def init_block(key, cfg: Config, in_dim: int):

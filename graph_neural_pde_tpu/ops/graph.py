@@ -33,7 +33,7 @@ def _round_up(x: int, m: int) -> int:
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=("row", "col", "weight", "mask"),
-         meta_fields=("num_nodes",))
+         meta_fields=("num_nodes", "rows_sorted"))
 @dataclasses.dataclass(frozen=True)
 class Graph:
     """Fixed-capacity COO graph.
@@ -42,6 +42,8 @@ class Graph:
     weight   : float32[E_pad] — padded entries are 0.0
     mask     : bool[E_pad]    — validity of each edge slot
     num_nodes: static int
+    rows_sorted: static bool  — edges ordered by row (enables the sorted
+                                segment-sum fast path on TPU)
     """
 
     row: jax.Array
@@ -49,6 +51,18 @@ class Graph:
     weight: jax.Array
     mask: jax.Array
     num_nodes: int
+    rows_sorted: bool = False
+
+    def sort_by_row(self) -> "Graph":
+        """Stable-reorder edges by row; padding slots go last (row forced
+        high for invalid slots before sorting, then reset to 0)."""
+        key = jnp.where(self.mask, self.row, self.num_nodes)
+        order = jnp.argsort(key, stable=True)
+        mask = self.mask[order]
+        return Graph(row=jnp.where(mask, self.row[order], 0),
+                     col=jnp.where(mask, self.col[order], 0),
+                     weight=jnp.where(mask, self.weight[order], 0.0),
+                     mask=mask, num_nodes=self.num_nodes, rows_sorted=True)
 
     @property
     def capacity(self) -> int:

@@ -23,17 +23,20 @@ from graph_neural_pde_tpu.ops.graph import Graph
 
 
 def spmm_coo(row: jax.Array, col: jax.Array, weight: jax.Array, x: jax.Array,
-             num_nodes: int, mask: jax.Array | None = None) -> jax.Array:
+             num_nodes: int, mask: jax.Array | None = None,
+             rows_sorted: bool = False) -> jax.Array:
     """out[row] += weight * x[col] — [N, D] result."""
     w = weight if mask is None else jnp.where(mask, weight, 0.0)
     gathered = x[col] * w[:, None]
-    return jax.ops.segment_sum(gathered, row, num_segments=num_nodes)
+    return jax.ops.segment_sum(gathered, row, num_segments=num_nodes,
+                               indices_are_sorted=rows_sorted)
 
 
 def spmm(g: Graph, x: jax.Array, weight: jax.Array | None = None) -> jax.Array:
     """A @ x with A given by the graph (weight override for attention)."""
     w = g.weight if weight is None else weight
-    return spmm_coo(g.row, g.col, w, x, g.num_nodes, g.mask)
+    return spmm_coo(g.row, g.col, w, x, g.num_nodes, g.mask,
+                    rows_sorted=g.rows_sorted)
 
 
 def spmm_multihead(g: Graph, att: jax.Array, v: jax.Array) -> jax.Array:
@@ -45,7 +48,8 @@ def spmm_multihead(g: Graph, att: jax.Array, v: jax.Array) -> jax.Array:
     """
     att = jnp.where(g.mask[:, None], att, 0.0)
     gathered = v[g.col] * att[:, :, None]            # [E, H, Dk]
-    return jax.ops.segment_sum(gathered, g.row, num_segments=g.num_nodes)
+    return jax.ops.segment_sum(gathered, g.row, num_segments=g.num_nodes,
+                               indices_are_sorted=g.rows_sorted)
 
 
 def spmm_mean_heads(g: Graph, att: jax.Array, x: jax.Array) -> jax.Array:

@@ -81,9 +81,22 @@ class Trainer:
         self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
 
+    # -- label diffusion (run_GNN.py:39-59) --------------------------------
+    def _with_labels(self, x, y, label_mask):
+        """Append a one-hot label channel for the masked nodes."""
+        onehot = jax.nn.one_hot(y, self.model.num_classes, dtype=x.dtype)
+        return jnp.concatenate([x, onehot * label_mask[:, None]], axis=-1)
+
     # -- jitted impls ----------------------------------------------------
     def _train_step_impl(self, params, state, opt_state, x, pos, y,
                          train_mask, rng):
+        if self.cfg.use_labels:
+            rng, k_lab = jax.random.split(rng)
+            # split the train nodes into label-carrying and prediction nodes
+            # (get_label_masks, run_GNN.py:48-59)
+            coin = jax.random.uniform(k_lab, train_mask.shape) < self.cfg.label_rate
+            x = self._with_labels(x, y, (train_mask & coin).astype(x.dtype))
+
         def loss_fn(p):
             logits, new_state, stats, regs = self.model.apply(
                 p, state, x, pos, training=True, rng=rng)
@@ -100,6 +113,9 @@ class Trainer:
         return params, new_state, opt_state, loss, stats
 
     def _eval_step_impl(self, params, state, x, pos, y, masks):
+        if self.cfg.use_labels:
+            # at test time every train node carries its label (run_GNN.py:141-142)
+            x = self._with_labels(x, y, masks[0].astype(x.dtype))
         logits, _, stats, _ = self.model.apply(params, state, x, pos,
                                                training=False)
         accs = tuple(accuracy(logits, y, m) for m in masks)

@@ -1,0 +1,83 @@
+"""Fused attention-aggregation RHS must match the exact normalised path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graph_neural_pde_tpu.config import Config
+from graph_neural_pde_tpu.models.blocks import prepare_graph
+from graph_neural_pde_tpu.models.functions import FuncAux, init_func_params, make_rhs
+from graph_neural_pde_tpu.ops.graph import make_graph
+
+
+def setup(att_type, square_plus, seed=0):
+    rng = np.random.default_rng(seed)
+    n, e, d = 30, 120, 12
+    row = rng.integers(0, n, e).astype(np.int32)
+    col = rng.integers(0, n, e).astype(np.int32)
+    g0 = make_graph(row, col, None, num_nodes=n, capacity=160)
+    cfg = Config(function="transformer", block="constant", hidden_dim=d,
+                 attention_dim=d, heads=3, attention_type=att_type,
+                 square_plus=square_plus, attention_norm_idx=0,
+                 self_loop_weight=1.0, add_source=True)
+    g = prepare_graph(cfg, g0)
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    params = init_func_params(jax.random.PRNGKey(seed), cfg, d)
+    # non-trivial weights so scores differ across edges
+    params["att"]["Q"]["w"] = 0.3 * jax.random.normal(jax.random.PRNGKey(1),
+                                                      params["att"]["Q"]["w"].shape)
+    params["att"]["K"]["w"] = 0.3 * jax.random.normal(jax.random.PRNGKey(2),
+                                                      params["att"]["K"]["w"].shape)
+    aux = FuncAux(attention=None, x0=x, edge_weight=g.weight)
+    return cfg, g, x, params, aux
+
+
+class TestFusedEquivalence:
+    @pytest.mark.parametrize("att_type,square_plus", [
+        ("scaled_dot", True), ("scaled_dot", False),
+        ("cosine_sim", False), ("exp_kernel", False), ("pearson", True),
+    ])
+    def test_matches_exact_path(self, att_type, square_plus):
+        cfg, g, x, params, aux = setup(att_type, square_plus)
+        rhs_fused = make_rhs(cfg.replace(fused_attention_agg=True), g)
+        rhs_exact = make_rhs(cfg.replace(fused_attention_agg=False), g)
+        f1 = np.asarray(rhs_fused(params, aux, 0.0, x))
+        f2 = np.asarray(rhs_exact(params, aux, 0.0, x))
+        np.testing.assert_allclose(f1, f2, rtol=2e-4, atol=2e-5)
+
+    def test_norm_idx1_falls_back(self):
+        cfg, g, x, params, aux = setup("scaled_dot", False)
+        cfg1 = cfg.replace(attention_norm_idx=1, fused_attention_agg=True)
+        cfg2 = cfg.replace(attention_norm_idx=1, fused_attention_agg=False)
+        f1 = np.asarray(make_rhs(cfg1, g)(params, aux, 0.0, x))
+        f2 = np.asarray(make_rhs(cfg2, g)(params, aux, 0.0, x))
+        np.testing.assert_allclose(f1, f2, rtol=1e-6)
+
+    def test_gradients_match(self):
+        cfg, g, x, params, aux = setup("scaled_dot", True)
+        def loss(p, fused):
+            rhs = make_rhs(cfg.replace(fused_attention_agg=fused), g)
+            return jnp.sum(rhs(p, aux, 0.0, x) ** 2)
+        g1 = jax.grad(lambda p: loss(p, True))(params)
+        g2 = jax.grad(lambda p: loss(p, False))(params)
+        for k in ("alpha_train", "beta_train"):
+            np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                       rtol=1e-3, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g1["att"]["Q"]["w"]),
+                                   np.asarray(g2["att"]["Q"]["w"]),
+                                   rtol=1e-3, atol=1e-6)
+
+    def test_sorted_graph_invariance(self):
+        """prepare_graph's row sort must not change spmm results."""
+        from graph_neural_pde_tpu.ops.spmm import spmm
+        rng = np.random.default_rng(3)
+        n, e = 20, 60
+        g = make_graph(rng.integers(0, n, e).astype(np.int32),
+                       rng.integers(0, n, e).astype(np.int32),
+                       rng.random(e).astype(np.float32), num_nodes=n,
+                       capacity=80)
+        x = jnp.asarray(rng.normal(size=(n, 5)).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(spmm(g, x)),
+                                   np.asarray(spmm(g.sort_by_row(), x)),
+                                   rtol=1e-5, atol=1e-6)
