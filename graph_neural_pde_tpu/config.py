@@ -141,6 +141,9 @@ class Config:
     # maxes (identical result up to f32 underflow). Cuts the per-RHS indexed
     # ops from ~6 to ~3 — indexed gathers/scatters are the TPU bottleneck.
     fused_attention_agg: bool = True
+    # terms for method='cheby' (exact Chebyshev expm solve of the linear
+    # frozen-attention diffusion); 0 = auto from T
+    cheby_terms: int = 0
     edge_pad_multiple: int = 512       # pad edge count to a multiple (static shapes)
     node_pad_multiple: int = 8         # pad node count to a multiple
     mesh_shape: Tuple[int, ...] = ()   # () = single chip; e.g. (8,) = 8-way edge sharding

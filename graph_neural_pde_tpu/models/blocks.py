@@ -169,10 +169,38 @@ def block_forward(bparams, cfg: Config, g: Graph, x, training: bool):
     always runs the plain (non-adjoint) primal (block_constant.py:35-70).
     """
     aux, g_run = build_aux(bparams, cfg, g, x, training)
-    rhs = make_rhs(cfg, g_run)
 
     reg_names, _ = active_regularizers(cfg)
     use_reg = training and len(reg_names) > 0
+
+    if cfg.method == "cheby":
+        # exact Chebyshev expm solve — only valid for the linear
+        # frozen-attention laplacian RHS (see solvers.chebyshev)
+        assert cfg.function == "laplacian" and not use_reg, (
+            "method='cheby' requires function='laplacian' without "
+            "regularisers (the RHS must be linear)")
+        from graph_neural_pde_tpu.ops.spmm import spmm
+        from graph_neural_pde_tpu.solvers.chebyshev import linear_diffusion_solve
+
+        if aux.attention is not None:
+            w = (jnp.mean(aux.attention, axis=1)
+                 if aux.attention.ndim == 2 else aux.attention)
+        else:
+            w = aux.edge_weight
+        fp = bparams["func"]
+        alpha = (fp["alpha_train"] if cfg.no_alpha_sigmoid
+                 else jax.nn.sigmoid(fp["alpha_train"]))
+        beta = fp["beta_train"] if cfg.add_source else 0.0
+        z, nfe = linear_diffusion_solve(
+            lambda y: spmm(g_run, y, weight=w), x, alpha, beta, aux.x0,
+            cfg.time, num_terms=cfg.cheby_terms or None)
+        stats = {"nfe": nfe, "accepted": nfe,
+                 "rejected": jnp.asarray(0, jnp.int32),
+                 "hit_max_steps": jnp.asarray(False),
+                 "t_final": jnp.asarray(cfg.time, jnp.float32)}
+        return z, stats, ()
+
+    rhs = make_rhs(cfg, g_run)
     if use_reg:
         rhs_run = wrap_regularized(rhs, reg_names)
         state0 = (x,) + tuple(jnp.zeros((x.shape[0],)) for _ in reg_names)

@@ -216,3 +216,44 @@ def run_best(cfg: Config, dataset: NodeDataset, *, reps: int = 4,
         vals.append(m["accuracy"])
         tests.append(m["test_acc"])
     return {"val": aggregate_runs(vals), "test": aggregate_runs(tests)}
+
+
+def _main():
+    """``python -m graph_neural_pde_tpu.training.tuning --dataset Cora``
+    (ray_tune.py main equivalent)."""
+    import argparse
+    from graph_neural_pde_tpu.data.datasets import get_dataset
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="Cora")
+    p.add_argument("--data_dir", default="./data")
+    p.add_argument("--num_samples", type=int, default=16)
+    p.add_argument("--max_epochs", type=int, default=60)
+    p.add_argument("--grace_period", type=int, default=10)
+    p.add_argument("--reduction_factor", type=int, default=3)
+    p.add_argument("--num_splits", type=int, default=1)
+    p.add_argument("--checkpoint_dir", default="./sweeps")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    base = Config(dataset=args.dataset)
+    ds = get_dataset(base, args.data_dir)
+    trials = run_sweep(base, ds, num_samples=args.num_samples,
+                       max_epochs=args.max_epochs,
+                       grace_period=args.grace_period,
+                       reduction_factor=args.reduction_factor,
+                       num_splits=args.num_splits, seed=args.seed,
+                       checkpoint_dir=args.checkpoint_dir)
+    best = trials[0]
+    print(f"\nbest trial {best.idx}: val {best.val_acc:.4f} "
+          f"test {best.test_acc:.4f}")
+    print(json.dumps({k: getattr(best.cfg, k) for k in
+                      ("lr", "decay", "hidden_dim", "time", "block",
+                       "attention_type", "method", "tol_scale")}, indent=2))
+    out = run_best(best.cfg, ds, reps=2, num_splits=max(args.num_splits, 2),
+                   epochs=args.max_epochs, seed=args.seed)
+    print("replay:", json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    _main()

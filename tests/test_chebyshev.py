@@ -1,0 +1,124 @@
+"""Chebyshev expm solver vs tight-tolerance dopri5 / dense expm oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+
+from graph_neural_pde_tpu.config import Config
+from graph_neural_pde_tpu.data.synthetic import make_sbm_dataset
+from graph_neural_pde_tpu.models.blocks import prepare_graph
+from graph_neural_pde_tpu.models.gnn import GNNModel
+from graph_neural_pde_tpu.ops.graph import dense_adjacency
+from graph_neural_pde_tpu.ops.spmm import spmm
+from graph_neural_pde_tpu.solvers.chebyshev import (
+    expm_multiply_cheby,
+    linear_diffusion_solve,
+)
+from graph_neural_pde_tpu.training.train import Trainer
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    return make_sbm_dataset(num_nodes=80, num_classes=3, num_features=10,
+                            seed=9)
+
+
+class TestExpmMultiply:
+    def test_symmetric_negative_definite(self):
+        rng = np.random.default_rng(0)
+        q = np.linalg.qr(rng.normal(size=(6, 6)))[0]
+        lam = -rng.random(6) * 2.0            # spec in [-2, 0]
+        l_mat = (q * lam) @ q.T
+        y0 = rng.normal(size=(6, 3)).astype(np.float32)
+        for T in (1.0, 5.0, 18.3):
+            want = scipy.linalg.expm(T * l_mat) @ y0
+            got = np.asarray(expm_multiply_cheby(
+                lambda y: jnp.asarray(l_mat, jnp.float32) @ y,
+                jnp.asarray(y0), T))
+            np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+    def test_nonsymmetric_diffusion_operator(self, dataset):
+        """L = Â − I with Â a column-normalised adjacency (complex spectrum
+        inside the unit disk) — the actual GRAND operator."""
+        cfg = Config(self_loop_weight=1.0)
+        g = prepare_graph(cfg, dataset.graph)
+        a = np.asarray(dense_adjacency(g))
+        l_mat = a - np.eye(g.num_nodes)
+        rng = np.random.default_rng(1)
+        y0 = rng.normal(size=(g.num_nodes, 4)).astype(np.float32)
+        for T in (3.0, 12.0):
+            want = scipy.linalg.expm(T * l_mat) @ y0
+            got = np.asarray(expm_multiply_cheby(
+                lambda y: spmm(g, y) - y, jnp.asarray(y0), T))
+            np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
+
+
+class TestLinearDiffusionSolve:
+    def test_matches_dopri5_with_source(self, dataset):
+        cfg = Config(self_loop_weight=1.0)
+        g = prepare_graph(cfg, dataset.graph)
+        rng = np.random.default_rng(2)
+        x0 = jnp.asarray(rng.normal(size=(g.num_nodes, 6)).astype(np.float32))
+        alpha, beta, T = 0.7, 0.3, 8.0
+
+        zT, nfe = linear_diffusion_solve(lambda y: spmm(g, y), x0, alpha,
+                                         beta, x0, T)
+        # oracle: tight dopri5 on the same linear ODE
+        from graph_neural_pde_tpu.solvers.api import SolverOptions, odeint
+        opts = SolverOptions(method="dopri5", rtol=1e-7, atol=1e-8,
+                             max_steps=20000)
+
+        def rhs(p, t, y):
+            return alpha * (spmm(g, y) - y) + beta * x0
+
+        want, ostats = odeint(rhs, None, x0, 0.0, T, opts)
+        np.testing.assert_allclose(np.asarray(zT), np.asarray(want),
+                                   rtol=5e-3, atol=5e-4)
+        # the whole point: far fewer matvecs than adaptive stepping
+        assert int(nfe) < int(ostats["nfe"])
+
+    def test_differentiable(self, dataset):
+        cfg = Config(self_loop_weight=1.0)
+        g = prepare_graph(cfg, dataset.graph)
+        x0 = jnp.ones((g.num_nodes, 3))
+
+        def loss(alpha):
+            z, _ = linear_diffusion_solve(lambda y: spmm(g, y), x0, alpha,
+                                          0.0, x0, 4.0)
+            return jnp.sum(z ** 2)
+
+        gr = jax.grad(loss)(0.5)
+        assert np.isfinite(float(gr))
+
+
+class TestChebyModel:
+    def test_cheby_block_matches_dopri5_eval(self, dataset):
+        base = Config(block="attention", function="laplacian",
+                      hidden_dim=10, attention_dim=10, heads=2,
+                      input_dropout=0.0, dropout=0.0, add_source=True,
+                      time=6.0, tol_scale=0.01, max_nfe=20000)  # tight tols
+        m_dp = GNNModel(base.replace(method="dopri5"), dataset.num_features,
+                        dataset.num_classes, dataset.graph)
+        m_ch = GNNModel(base.replace(method="cheby"), dataset.num_features,
+                        dataset.num_classes, dataset.graph)
+        params, state = m_dp.init(jax.random.PRNGKey(0))
+        lo_dp, _, st_dp, _ = m_dp.apply(params, state, dataset.x,
+                                        training=False)
+        lo_ch, _, st_ch, _ = m_ch.apply(params, state, dataset.x,
+                                        training=False)
+        np.testing.assert_allclose(np.asarray(lo_ch), np.asarray(lo_dp),
+                                   rtol=2e-2, atol=2e-3)
+        assert int(st_ch["nfe"]) < int(st_dp["nfe"])
+
+    def test_cheby_trains(self, dataset):
+        cfg = Config(block="attention", function="laplacian", method="cheby",
+                     hidden_dim=10, attention_dim=10, heads=2,
+                     input_dropout=0.0, dropout=0.0, add_source=True,
+                     time=4.0, lr=0.05)
+        model = GNNModel(cfg, dataset.num_features, dataset.num_classes,
+                         dataset.graph)
+        trainer = Trainer(model)
+        _, _, best, _ = trainer.fit(dataset, epochs=15, verbose=False)
+        assert best["val_acc"] > 0.6, best

@@ -1,0 +1,84 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh.
+
+Validates the edge-sharded design: the full training step jits and executes
+over a jax.sharding.Mesh with the padded edge arrays split across devices
+and node states/params replicated, and produces the same numbers as the
+single-device run.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graph_neural_pde_tpu.config import Config
+from graph_neural_pde_tpu.data.synthetic import make_sbm_dataset
+from graph_neural_pde_tpu.models.gnn import GNNModel
+from graph_neural_pde_tpu.parallel.mesh import make_mesh, replicate, shard_graph
+from graph_neural_pde_tpu.training.train import Trainer
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices (see conftest)")
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    return make_sbm_dataset(num_nodes=64, num_classes=3, num_features=8,
+                            avg_degree=6, seed=7, edge_pad_multiple=64)
+
+
+class TestShardedTraining:
+    def test_matches_single_device(self, mesh, dataset):
+        cfg = Config(block="attention", function="laplacian", method="rk4",
+                     step_size=0.5, time=1.0, hidden_dim=8, attention_dim=8,
+                     heads=2, input_dropout=0.0, dropout=0.0, max_nfe=500,
+                     lr=0.05)
+
+        def one_step(graph, x, y, tm):
+            model = GNNModel(cfg, dataset.num_features, dataset.num_classes,
+                             graph)
+            trainer = Trainer(model)
+            params, state = model.init(jax.random.PRNGKey(0))
+            opt_state = trainer.optimizer.init(params)
+            params, state, opt_state, loss, stats = trainer._train_step(
+                params, state, opt_state, x, None, y, tm,
+                jax.random.PRNGKey(1))
+            (tr, va, te), logits, _ = trainer._eval_step(
+                params, state, x, None, y,
+                (tm, dataset.val_mask, dataset.test_mask))
+            return float(loss), np.asarray(logits)
+
+        loss_1, logits_1 = one_step(dataset.graph, dataset.x, dataset.y,
+                                    dataset.train_mask)
+
+        g_sharded = shard_graph(mesh, dataset.graph)
+        x = replicate(mesh, dataset.x)
+        y = replicate(mesh, dataset.y)
+        tm = replicate(mesh, dataset.train_mask)
+        loss_8, logits_8 = one_step(g_sharded, x, y, tm)
+
+        assert loss_1 == pytest.approx(loss_8, rel=1e-4)
+        np.testing.assert_allclose(logits_1, logits_8, rtol=1e-3, atol=1e-4)
+
+    def test_graph_actually_sharded(self, mesh, dataset):
+        g = shard_graph(mesh, dataset.graph)
+        shards = g.row.addressable_shards
+        assert len(shards) == 8
+        assert shards[0].data.shape[0] == dataset.graph.capacity // 8
+
+    def test_adaptive_solver_sharded(self, mesh, dataset):
+        cfg = Config(block="constant", function="laplacian", method="dopri5",
+                     tol_scale=100.0, time=2.0, hidden_dim=8,
+                     input_dropout=0.0, dropout=0.0, max_nfe=1000)
+        g = shard_graph(mesh, dataset.graph)
+        model = GNNModel(cfg, dataset.num_features, dataset.num_classes, g)
+        params, state = model.init(jax.random.PRNGKey(0))
+        logits, _, stats, _ = model.apply(
+            replicate(mesh, params), replicate(mesh, state),
+            replicate(mesh, dataset.x), training=False)
+        assert np.isfinite(np.asarray(logits)).all()
+        assert int(stats["nfe"]) > 0
