@@ -83,6 +83,25 @@ def load_mnist(data_dir: str, train: bool = True):
     raise FileNotFoundError(raw)
 
 
+def load_cifar10(data_dir: str, train: bool = True):
+    """CIFAR-10 python-pickle batches under {data_dir}/cifar-10-batches-py/."""
+    import pickle as pkl
+    base = os.path.join(data_dir, "cifar-10-batches-py")
+    names = ([f"data_batch_{i}" for i in range(1, 6)] if train
+             else ["test_batch"])
+    xs, ys = [], []
+    for name in names:
+        path = os.path.join(base, name)
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        with open(path, "rb") as f:
+            d = pkl.load(f, encoding="bytes")
+        xs.append(np.asarray(d[b"data"], np.float32) / 255.0)
+        ys.append(np.asarray(d[b"labels"], np.int64))
+    x = np.concatenate(xs).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    return x, np.concatenate(ys)           # [N, 32, 32, 3]
+
+
 def synthetic_images(n=512, h=12, w=12, num_classes=4, seed=0):
     """Class-dependent Gaussian blobs — a learnable MNIST stand-in."""
     rng = np.random.default_rng(seed)
@@ -127,6 +146,8 @@ def load_image_dataset(data_dir: str, dataset: str = "MNIST",
     try:
         if dataset.upper() == "MNIST":
             x, y = load_mnist(data_dir, train)
+        elif dataset.upper() in ("CIFAR", "CIFAR10"):
+            x, y = load_cifar10(data_dir, train)
         else:
             raise FileNotFoundError(dataset)
     except FileNotFoundError:

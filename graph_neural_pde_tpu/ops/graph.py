@@ -236,6 +236,14 @@ def dirichlet_energy(g: Graph, x: jax.Array) -> jax.Array:
     return 0.5 * jnp.sum(jnp.where(g.mask, g.weight * sq, 0.0))
 
 
+def full_adjacency(num_nodes: int) -> Graph:
+    """All-pairs edge list (utils.py:161-167; the n2_radius branch of
+    add_edges, graph_rewiring.py:221-222)."""
+    r = np.repeat(np.arange(num_nodes, dtype=np.int32), num_nodes)
+    c = np.tile(np.arange(num_nodes, dtype=np.int32), num_nodes)
+    return make_graph(r, c, None, num_nodes=num_nodes)
+
+
 def graph_from_numpy_edge_index(edge_index: np.ndarray, edge_weight=None, *,
                                 num_nodes: int, pad_multiple: int = 1) -> Graph:
     """Host-side constructor from a [2, E] numpy edge_index."""

@@ -102,15 +102,23 @@ def apply_edge_sampling(g: Graph, cfg: Config, mean_attention_fn: Callable,
     graph, drop the weakest.
 
     mean_attention_fn(graph) -> [capacity] head-mean attention per edge slot.
+
+    The capacity is sized once to cover the densified peak
+    (E·(1 + 2·edge_sampling_add) for the undirected additions) and then held
+    constant across epochs so the solve compiles exactly twice (original
+    capacity + stable rewired capacity).
     """
+    e_valid = int(np.asarray(g.mask).sum())
+    peak = int(e_valid * (1.0 + 2.0 * cfg.edge_sampling_add)) + 64
+    cap = capacity if capacity is not None else max(g.capacity, peak)
+    cap = max(cap, peak)
     if cfg.edge_sampling_add_type == "random":
-        g2 = add_random_edges(g, cfg.edge_sampling_add, rng, capacity)
+        g2 = add_random_edges(g, cfg.edge_sampling_add, rng, cap)
     elif cfg.edge_sampling_add_type == "importance":
         att0 = np.asarray(mean_attention_fn(g))
-        g2 = add_importance_edges(g, att0, cfg.edge_sampling_add, rng,
-                                  capacity)
+        g2 = add_importance_edges(g, att0, cfg.edge_sampling_add, rng, cap)
     else:
         g2 = g
     att = np.asarray(mean_attention_fn(g2))
     return threshold_edges_by_attention(g2, att, cfg.edge_sampling_rmv,
-                                        capacity=g2.capacity)
+                                        capacity=cap)

@@ -116,6 +116,34 @@ def main(cfg: Config, data_dir: str = "./data", verbose: bool = True):
                 and hasattr(model, "rewire")):
             model.rewire(params, state, dataset.x, pos_encoding)
 
+        if cfg.edge_sampling and epoch % cfg.edge_sampling_epoch == 0:
+            # BLEND densify-then-sparsify surgery between epochs
+            # (apply_edge_sampling, graph_rewiring.py:227-241)
+            from graph_neural_pde_tpu.models.attention import (
+                apply_transformer_attention)
+            from graph_neural_pde_tpu.rewiring.edges import apply_edge_sampling
+            import jax as _jax
+
+            def mean_att(graph):
+                x0, _ = model.encode(params, state, dataset.x, pos_encoding,
+                                     False, _jax.random.PRNGKey(0))
+                att_params = params["block"].get(
+                    "att", params["block"]["func"].get("att"))
+                att, _ = apply_transformer_attention(att_params, cfg, x0,
+                                                     graph,
+                                                     edge_weight=graph.weight)
+                return np.asarray(jnp_mean_heads(att))
+
+            import jax.numpy as _jnp
+
+            def jnp_mean_heads(att):
+                return _jnp.mean(att, axis=1)
+
+            model.graph = apply_edge_sampling(
+                model.graph, cfg, mean_att,
+                np.random.default_rng(cfg.seed + epoch),
+                capacity=model.graph.capacity)
+
         key, k_step = jax.random.split(key)
         params, state, opt_state, loss, tstats = trainer._train_step(
             params, state, opt_state, dataset.x, pos_encoding, dataset.y,
