@@ -39,6 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--use_best_params", action="store_true",
                         help="merge the tuned per-dataset config underneath "
                              "the command line (best_params.py semantics)")
+    parser.add_argument("--checkpoint_path", type=str, default=None,
+                        help="save the best-val params/state here (npz)")
     for f in dataclasses.fields(Config):
         name = f"--{f.name}"
         if f.type == "bool" or isinstance(f.default, bool):
@@ -74,7 +76,8 @@ def select_model(cfg: Config, num_features, num_classes, graph, pos_enc_dim=0):
     return cls(cfg, num_features, num_classes, graph, pos_enc_dim=pos_enc_dim)
 
 
-def main(cfg: Config, data_dir: str = "./data", verbose: bool = True):
+def main(cfg: Config, data_dir: str = "./data", verbose: bool = True,
+         checkpoint_path: Optional[str] = None):
     dataset = get_dataset(cfg, data_dir, use_lcc=not cfg.not_lcc)
 
     pos_encoding = None
@@ -156,6 +159,11 @@ def main(cfg: Config, data_dir: str = "./data", verbose: bool = True):
         if va > best["val_acc"]:
             best.update(val_acc=va, test_acc=te, train_acc=tr, epoch=epoch,
                         best_time=cfg.time)
+            if checkpoint_path:
+                from graph_neural_pde_tpu.utils.checkpoint import save_checkpoint
+                save_checkpoint(checkpoint_path,
+                                {"params": params, "state": state},
+                                metadata={"val_acc": va, "epoch": epoch})
         if not cfg.no_early and hasattr(model, "apply_early"):
             _, snap, _ = model.apply_early(
                 params, state, dataset.x, dataset.y,
@@ -181,4 +189,5 @@ def main(cfg: Config, data_dir: str = "./data", verbose: bool = True):
 
 if __name__ == "__main__":
     parsed = build_parser().parse_args()
-    main(config_from_args(parsed), data_dir=parsed.data_dir)
+    main(config_from_args(parsed), data_dir=parsed.data_dir,
+         checkpoint_path=parsed.checkpoint_path)
