@@ -144,6 +144,12 @@ class Config:
     # terms for method='cheby' (exact Chebyshev expm solve of the linear
     # frozen-attention diffusion); 0 = auto from T
     cheby_terms: int = 0
+    # sparse aggregation engine: 'xla' (gather+segment-sum; best for uniform
+    # sparsity) or 'pallas_blocked' (one-hot MXU kernels over node blocks;
+    # best for block-local graphs: pixel grids, clustered/reordered graphs)
+    spmm_impl: str = "xla"
+    spmm_block_n: int = 1024   # 512 triggers a Mosaic compiler fault on v5e
+    spmm_chunk: int = 1024
     edge_pad_multiple: int = 512       # pad edge count to a multiple (static shapes)
     node_pad_multiple: int = 8         # pad node count to a multiple
     mesh_shape: Tuple[int, ...] = ()   # () = single chip; e.g. (8,) = 8-way edge sharding

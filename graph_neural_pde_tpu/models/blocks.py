@@ -63,6 +63,26 @@ def prepare_graph(cfg: Config, g: Graph) -> Graph:
     return g.sort_by_row()
 
 
+def build_spmm_engine(cfg: Config, g: Graph):
+    """Optionally reorder the (prepared) graph into the Pallas block-plan
+    layout and return (graph, spmm_fn | None). spmm_fn(x, w) aggregates with
+    the one-hot MXU kernels (see ops/pallas) — block-local graphs only."""
+    if cfg.spmm_impl != "pallas_blocked" or cfg.function != "laplacian":
+        return g, None
+    import numpy as np
+    from graph_neural_pde_tpu.ops.pallas.spmm_blocked import (
+        make_plan_pair, make_spmm)
+    m = np.asarray(g.mask)
+    plans = make_plan_pair(
+        np.asarray(g.row)[m], np.asarray(g.col)[m], np.asarray(g.weight)[m],
+        num_nodes=g.num_nodes, block_n=cfg.spmm_block_n, chunk=cfg.spmm_chunk)
+    f = plans.fwd
+    g2 = Graph(row=jnp.asarray(f.row), col=jnp.asarray(f.col),
+               weight=jnp.asarray(f.weight), mask=jnp.asarray(f.valid),
+               num_nodes=f.num_nodes, rows_sorted=False)
+    return g2, make_spmm(plans)
+
+
 def init_block(key, cfg: Config, in_dim: int):
     """Learnable block parameters: the ODE function's params, plus a
     block-level attention layer / gamma where the reference has one."""
@@ -162,11 +182,13 @@ def build_aux(bparams, cfg: Config, g: Graph, x, training: bool
     raise NotImplementedError(f"block '{cfg.block}' not implemented yet")
 
 
-def block_forward(bparams, cfg: Config, g: Graph, x, training: bool):
+def block_forward(bparams, cfg: Config, g: Graph, x, training: bool,
+                  spmm_fn=None):
     """Solve the IVP over [0, T]. Returns (z, stats, reg_states).
 
     Training uses cfg.method with cfg.adjoint's gradient path; evaluation
     always runs the plain (non-adjoint) primal (block_constant.py:35-70).
+    ``spmm_fn(x, w)`` overrides the laplacian aggregation engine.
     """
     aux, g_run = build_aux(bparams, cfg, g, x, training)
 
@@ -191,8 +213,10 @@ def block_forward(bparams, cfg: Config, g: Graph, x, training: bool):
         alpha = (fp["alpha_train"] if cfg.no_alpha_sigmoid
                  else jax.nn.sigmoid(fp["alpha_train"]))
         beta = fp["beta_train"] if cfg.add_source else 0.0
+        matvec = ((lambda y: spmm_fn(y, w)) if spmm_fn is not None
+                  else (lambda y: spmm(g_run, y, weight=w)))
         z, nfe = linear_diffusion_solve(
-            lambda y: spmm(g_run, y, weight=w), x, alpha, beta, aux.x0,
+            matvec, x, alpha, beta, aux.x0,
             cfg.time, num_terms=cfg.cheby_terms or None)
         stats = {"nfe": nfe, "accepted": nfe,
                  "rejected": jnp.asarray(0, jnp.int32),

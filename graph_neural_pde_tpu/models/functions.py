@@ -135,12 +135,18 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config, g: Graph):
     return _source(cfg, fparams, f, aux)
 
 
-def make_rhs(cfg: Config, g: Graph) -> Callable:
+def make_rhs(cfg: Config, g: Graph, spmm_fn: Optional[Callable] = None
+             ) -> Callable:
     """Build rhs(fparams, aux, t, x) for cfg.function over graph structure g.
 
     g's row/col/mask are static-shaped index data; all differentiable inputs
-    flow through (fparams, aux).
+    flow through (fparams, aux). ``spmm_fn(x, w)`` overrides the aggregation
+    engine (e.g. the Pallas blocked kernel over a plan-ordered graph).
     """
+    if spmm_fn is None:
+        def spmm_fn(x, w):
+            return spmm(g, x, weight=w)
+
     if cfg.function == "laplacian":
 
         def rhs(fparams, aux: FuncAux, t, x):
@@ -152,7 +158,7 @@ def make_rhs(cfg: Config, g: Graph) -> Callable:
                      if aux.attention.ndim == 2 else aux.attention)
             else:
                 w = aux.edge_weight
-            ax = spmm(g, x, weight=w)
+            ax = spmm_fn(x, w)
             f = _alpha(cfg, fparams) * (ax - x)
             return _source(cfg, fparams, f, aux)
 

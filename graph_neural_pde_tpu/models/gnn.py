@@ -52,6 +52,13 @@ class GNNModel:
         self.num_features = num_features
         self.num_classes = num_classes
         self.graph = prepare_graph(cfg, graph)
+        self.num_nodes = self.graph.num_nodes
+
+        # optional Pallas blocked aggregation engine: reorder the graph into
+        # the (row_block, col_block) plan layout once and close the kernel
+        # over the static plans (see ops/pallas; wins on block-local graphs)
+        from graph_neural_pde_tpu.models.blocks import build_spmm_engine
+        self.graph, self.spmm_fn = build_spmm_engine(cfg, self.graph)
 
         # width bookkeeping (the reference mutates opt['hidden_dim'] at
         # base_classes.py:110-124; here the widths are explicit)
@@ -144,7 +151,12 @@ class GNNModel:
         k_enc, k_dec = jax.random.split(rng)
         g = graph if graph is not None else self.graph
         x0, new_state = self.encode(params, state, x, pos_encoding, training, k_enc)
+        n = x0.shape[0]
+        if g.num_nodes > n:  # plan layout pads the node count to block_n
+            x0 = jnp.pad(x0, ((0, g.num_nodes - n), (0, 0)))
         z, stats, reg_states = block_forward(params["block"], self.cfg, g,
-                                             x0, training)
+                                             x0, training,
+                                             spmm_fn=self.spmm_fn)
+        z = z[:n]
         logits = self.decode(params, z, training, k_dec)
         return logits, new_state, stats, reg_states

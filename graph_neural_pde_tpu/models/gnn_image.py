@@ -26,7 +26,9 @@ class GNNImageModel:
                  batch_size: int):
         # the ODE state width is the channel count (pixels diffuse raw)
         self.cfg = cfg.replace(hidden_dim=im_chan)
-        self.graph = prepare_graph(self.cfg, graph)
+        from graph_neural_pde_tpu.models.blocks import build_spmm_engine
+        self.graph, self.spmm_fn = build_spmm_engine(
+            self.cfg, prepare_graph(self.cfg, graph))
         self.h, self.w, self.c = im_height, im_width, im_chan
         self.num_classes = num_classes
         self.batch_size = batch_size
@@ -41,9 +43,13 @@ class GNNImageModel:
 
     def _diffuse(self, params, x, training, rng):
         x = dropout(rng, x, self.cfg.input_dropout, training)
+        n = x.shape[0]
+        if self.graph.num_nodes > n:   # plan layout pads the node count
+            import jax.numpy as jnp
+            x = jnp.pad(x, ((0, self.graph.num_nodes - n), (0, 0)))
         z, stats, regs = block_forward(params["block"], self.cfg, self.graph,
-                                       x, training)
-        return z, stats, regs
+                                       x, training, spmm_fn=self.spmm_fn)
+        return z[:n], stats, regs
 
     def apply(self, params, state, x, training=False,
               rng: Optional[jax.Array] = None):

@@ -51,11 +51,10 @@ def _on_tpu() -> bool:
         return False
 
 
-def _edges_2d(plan: BlockPlan):
-    """Edge slot arrays reshaped [n_chunks, chunk] for 2D-tiled BlockSpecs."""
-    nc, c = plan.n_chunks, plan.chunk
-    return (jnp.asarray(plan.row_local).reshape(nc, c),
-            jnp.asarray(plan.col_local).reshape(nc, c))
+def _edges_1d(plan: BlockPlan):
+    """Edge slot arrays as flat 1D vectors — Mosaic accepts (chunk,) blocks
+    on 1D arrays where it rejects (1, chunk) tiles of a 2D layout."""
+    return (jnp.asarray(plan.row_local), jnp.asarray(plan.col_local))
 
 
 def _onehot_cols(coll, chunk, block_n, dtype):
@@ -83,13 +82,13 @@ def _spmm_kernel(cr_ref, cc_ref, rowl_ref, coll_ref, w_ref, x_ref, out_ref,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    rowl = rowl_ref[0, :]
-    coll = coll_ref[0, :]
+    rowl = rowl_ref[:]
+    coll = coll_ref[:]
     p = _onehot_cols(coll, chunk, block_n, dtype)
     s = _onehot_rows_t(rowl, chunk, block_n, dtype)
     gathered = jnp.dot(p, x_ref[:].astype(dtype),
                        preferred_element_type=jnp.float32)      # [C, D]
-    vals = (gathered * w_ref[0, :][:, None]).astype(dtype)
+    vals = (gathered * w_ref[:][:, None]).astype(dtype)
     out_ref[:] += jnp.dot(s, vals, preferred_element_type=jnp.float32)
 
 
@@ -102,16 +101,15 @@ def _spmm_call(plan: BlockPlan, x: jax.Array, w: jax.Array,
     nc = plan.n_chunks
     if interpret is None:
         interpret = not _on_tpu()
-    rowl2, coll2 = _edges_2d(plan)
-    w2 = w.reshape(nc, chunk)
+    rowl1, coll1 = _edges_1d(plan)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nc,),
         in_specs=[
-            pl.BlockSpec((1, chunk), lambda i, cr, cc: (i, 0)),
-            pl.BlockSpec((1, chunk), lambda i, cr, cc: (i, 0)),
-            pl.BlockSpec((1, chunk), lambda i, cr, cc: (i, 0)),
+            pl.BlockSpec((chunk,), lambda i, cr, cc: (i,)),
+            pl.BlockSpec((chunk,), lambda i, cr, cc: (i,)),
+            pl.BlockSpec((chunk,), lambda i, cr, cc: (i,)),
             pl.BlockSpec((block_n, d), lambda i, cr, cc: (cc[i], 0)),
         ],
         out_specs=pl.BlockSpec((block_n, d), lambda i, cr, cc: (cr[i], 0)),
@@ -127,7 +125,7 @@ def _spmm_call(plan: BlockPlan, x: jax.Array, w: jax.Array,
             flops=flops, bytes_accessed=nc * block_n * d * 8, transcendentals=0),
         interpret=interpret,
     )(jnp.asarray(plan.chunk_rows), jnp.asarray(plan.chunk_cols),
-      rowl2, coll2, w2, x)
+      rowl1, coll1, w, x)
 
 
 # ---------------------------------------------------------------------------
@@ -136,15 +134,15 @@ def _spmm_call(plan: BlockPlan, x: jax.Array, w: jax.Array,
 
 def _sddmm_kernel(cr_ref, cc_ref, rowl_ref, coll_ref, a_ref, b_ref, out_ref,
                   *, chunk, block_n, dtype):
-    rowl = rowl_ref[0, :]
-    coll = coll_ref[0, :]
+    rowl = rowl_ref[:]
+    coll = coll_ref[:]
     p_row = _onehot_cols(rowl, chunk, block_n, dtype)   # [C, B] one-hot rows
     p_col = _onehot_cols(coll, chunk, block_n, dtype)
     a_rows = jnp.dot(p_row, a_ref[:].astype(dtype),
                      preferred_element_type=jnp.float32)        # [C, D]
     b_cols = jnp.dot(p_col, b_ref[:].astype(dtype),
                      preferred_element_type=jnp.float32)
-    out_ref[0, :] = jnp.sum(a_rows * b_cols, axis=1)
+    out_ref[:] = jnp.sum(a_rows * b_cols, axis=1)
 
 
 def _sddmm_call(plan: BlockPlan, a: jax.Array, b: jax.Array,
@@ -155,29 +153,29 @@ def _sddmm_call(plan: BlockPlan, a: jax.Array, b: jax.Array,
     nc = plan.n_chunks
     if interpret is None:
         interpret = not _on_tpu()
-    rowl2, coll2 = _edges_2d(plan)
+    rowl1, coll1 = _edges_1d(plan)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nc,),
         in_specs=[
-            pl.BlockSpec((1, chunk), lambda i, cr, cc: (i, 0)),
-            pl.BlockSpec((1, chunk), lambda i, cr, cc: (i, 0)),
+            pl.BlockSpec((chunk,), lambda i, cr, cc: (i,)),
+            pl.BlockSpec((chunk,), lambda i, cr, cc: (i,)),
             pl.BlockSpec((block_n, d), lambda i, cr, cc: (cr[i], 0)),
             pl.BlockSpec((block_n, d), lambda i, cr, cc: (cc[i], 0)),
         ],
-        out_specs=pl.BlockSpec((1, chunk), lambda i, cr, cc: (i, 0)),
+        out_specs=pl.BlockSpec((chunk,), lambda i, cr, cc: (i,)),
     )
     kernel = functools.partial(_sddmm_kernel, chunk=chunk, block_n=block_n,
                                dtype=dtype)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nc, chunk), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((plan.capacity,), jnp.float32),
         interpret=interpret,
     )(jnp.asarray(plan.chunk_rows), jnp.asarray(plan.chunk_cols),
-      rowl2, coll2, a, b)
-    return out.reshape(-1)
+      rowl1, coll1, a, b)
+    return out
 
 
 # ---------------------------------------------------------------------------
