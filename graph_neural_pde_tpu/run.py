@@ -150,10 +150,11 @@ def main(cfg: Config, data_dir: str = "./data", verbose: bool = True,
         key, k_step = jax.random.split(key)
         params, state, opt_state, loss, tstats = trainer._train_step(
             params, state, opt_state, dataset.x, pos_encoding, dataset.y,
-            dataset.train_mask, k_step)
+            dataset.train_mask, k_step, model.graph)
         (tr, va, te), _, _ = trainer._eval_step(
             params, state, dataset.x, pos_encoding, dataset.y,
-            (dataset.train_mask, dataset.val_mask, dataset.test_mask))
+            (dataset.train_mask, dataset.val_mask, dataset.test_mask),
+            model.graph)
         tr, va, te = float(tr), float(va), float(te)
         best_time = cfg.time
         if va > best["val_acc"]:

@@ -89,8 +89,11 @@ class Trainer:
         return jnp.concatenate([x, onehot * label_mask[:, None]], axis=-1)
 
     # -- jitted impls ----------------------------------------------------
+    # NOTE: the graph is an explicit (traced) argument rather than a capture
+    # of model.graph — between-epoch rewiring swaps the graph arrays, and a
+    # trace-time capture would silently keep using the original graph.
     def _train_step_impl(self, params, state, opt_state, x, pos, y,
-                         train_mask, rng):
+                         train_mask, rng, graph=None):
         if self.cfg.use_labels:
             rng, k_lab = jax.random.split(rng)
             # split the train nodes into label-carrying and prediction nodes
@@ -100,7 +103,7 @@ class Trainer:
 
         def loss_fn(p):
             logits, new_state, stats, regs = self.model.apply(
-                p, state, x, pos, training=True, rng=rng)
+                p, state, x, pos, training=True, rng=rng, graph=graph)
             loss = cross_entropy_loss(logits, y, train_mask)
             for coeff, rs in zip(self.reg_coeffs, regs):
                 if coeff:
@@ -113,12 +116,12 @@ class Trainer:
         params = optax.apply_updates(params, updates)
         return params, new_state, opt_state, loss, stats
 
-    def _eval_step_impl(self, params, state, x, pos, y, masks):
+    def _eval_step_impl(self, params, state, x, pos, y, masks, graph=None):
         if self.cfg.use_labels:
             # at test time every train node carries its label (run_GNN.py:141-142)
             x = self._with_labels(x, y, masks[0].astype(x.dtype))
         logits, _, stats, _ = self.model.apply(params, state, x, pos,
-                                               training=False)
+                                               training=False, graph=graph)
         accs = tuple(accuracy(logits, y, m) for m in masks)
         return accs, logits, stats
 

@@ -101,3 +101,28 @@ class TestGNNKNN:
         logits2, _, _, _ = model.apply(params, state, dataset.x,
                                        training=False)
         assert np.isfinite(np.asarray(logits2)).all()
+
+
+class TestRewireThroughJit:
+    def test_jitted_step_sees_rewired_graph(self, dataset):
+        """Regression: the graph is a traced step argument, so between-epoch
+        rewiring must change the jitted step's output (a trace-time capture
+        of model.graph would silently ignore the swap)."""
+        import jax
+        from graph_neural_pde_tpu.training.train import Trainer
+        cfg = Config(hidden_dim=10, attention_dim=10, heads=2, method="rk4",
+                     step_size=0.5, time=1.0, input_dropout=0.0, dropout=0.0,
+                     block="attention", function="laplacian", rewire_KNN=True,
+                     rewire_KNN_k=6, rewire_KNN_T="T0", max_nfe=2000)
+        model = GNNKNNModel(cfg, dataset.num_features, dataset.num_classes,
+                            dataset.graph)
+        trainer = Trainer(model)
+        params, state = model.init(jax.random.PRNGKey(0))
+        masks = (dataset.train_mask, dataset.val_mask, dataset.test_mask)
+        (_, _, _), logits_before, _ = trainer._eval_step(
+            params, state, dataset.x, None, dataset.y, masks, model.graph)
+        model.rewire(params, state, dataset.x)
+        (_, _, _), logits_after, _ = trainer._eval_step(
+            params, state, dataset.x, None, dataset.y, masks, model.graph)
+        assert not np.allclose(np.asarray(logits_before),
+                               np.asarray(logits_after))
