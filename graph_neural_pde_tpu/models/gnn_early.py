@@ -45,6 +45,9 @@ class GNNEarlyModel(GNNModel):
         k_enc, k_dec = jax.random.split(rng)
         g = graph if graph is not None else self.graph
         x0, _ = self.encode(params, state, x, pos_encoding, False, k_enc)
+        n = x0.shape[0]
+        if g.num_nodes > n:  # pallas plan layout pads the node count
+            x0 = jnp.pad(x0, ((0, g.num_nodes - n), (0, 0)))
 
         aux, g_run = build_aux(params["block"], cfg, g, x0, training=False)
         rhs = make_rhs(cfg, g_run)
@@ -58,6 +61,7 @@ class GNNEarlyModel(GNNModel):
         def evaluate(z):
             # relu -> m2 only — the early-stop evaluator ignores fc_out and
             # dropout (early_stop_solver.py:105-122)
+            z = z[:n]
             if cfg.augment:
                 z = z[:, : self.core_dim]
             logits = linear_apply(m2, jax.nn.relu(z))
@@ -70,5 +74,5 @@ class GNNEarlyModel(GNNModel):
         zT, best, stats = odeint_early_stop(
             func, {"f": params["block"]["func"], "aux": aux}, x0, 0.0,
             float(t_ext), opts, evaluate, max_test_steps=cfg.max_test_steps)
-        logits = self.decode(params, zT, False, k_dec)
+        logits = self.decode(params, zT[:n], False, k_dec)
         return logits, best, stats

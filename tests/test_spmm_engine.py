@@ -62,3 +62,20 @@ class TestEngineEquivalence:
         logits, _, stats, _ = model.apply(params, state, dataset.x,
                                           training=False)
         assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestPallasEngineEarlyStop:
+    def test_apply_early_with_plan_layout(self, dataset):
+        from graph_neural_pde_tpu.models.gnn_early import GNNEarlyModel
+        _, cfg_p = cfg_pair(block="attention", method="rk4",
+                            no_early=False, max_test_steps=10,
+                            earlystopxT=2.0)
+        model = GNNEarlyModel(cfg_p, dataset.num_features,
+                              dataset.num_classes, dataset.graph)
+        params, state = model.init(jax.random.PRNGKey(0))
+        logits, best, stats = model.apply_early(
+            params, state, dataset.x, dataset.y,
+            (dataset.train_mask, dataset.val_mask, dataset.test_mask))
+        assert logits.shape == (90, 3)
+        assert np.isfinite(np.asarray(logits)).all()
+        assert 0.0 <= float(best.val) <= 1.0
