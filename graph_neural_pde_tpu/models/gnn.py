@@ -14,7 +14,7 @@ Everything (including the solve and its NFE counters) lives in one jit.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from graph_neural_pde_tpu.config import Config
 from graph_neural_pde_tpu.models.blocks import build_aux, make_rhs
 from graph_neural_pde_tpu.models.gnn import GNNModel
 from graph_neural_pde_tpu.models.layers import linear_apply

@@ -13,8 +13,6 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from graph_neural_pde_tpu.config import Config

@@ -16,7 +16,7 @@ the citation-scale graphs it is used on.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from graph_neural_pde_tpu.solvers.fixed import time_grid
 from graph_neural_pde_tpu.solvers.rk import rk_step
-from graph_neural_pde_tpu.solvers.tableaus import TABLEAUS, Tableau
+from graph_neural_pde_tpu.solvers.tableaus import Tableau
 from graph_neural_pde_tpu.solvers.adaptive import (
     _final_interp,
     _optimal_step_size,

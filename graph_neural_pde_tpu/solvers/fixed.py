@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 
 from graph_neural_pde_tpu.solvers.tableaus import Tableau
-from graph_neural_pde_tpu.solvers.tree_math import tree_where
 
 
 def time_grid(t0: float, t1: float, step_size: float):
