@@ -61,6 +61,10 @@ def make_sbm_dataset(num_nodes=120, num_classes=3, num_features=16,
     row = np.array(rows + cols, np.int32)   # undirected: both directions
     col = np.array(cols + rows, np.int32)
 
+    # cap the split sizes so every partition is non-empty (an empty test set
+    # would make accuracy silently report 0)
+    train_per_class = min(train_per_class,
+                          max(1, num_nodes // (2 * num_classes)))
     train_mask = np.zeros(num_nodes, bool)
     for c in range(num_classes):
         idx = np.where(y == c)[0]
@@ -68,9 +72,11 @@ def make_sbm_dataset(num_nodes=120, num_classes=3, num_features=16,
         train_mask[idx[:train_per_class]] = True
     remaining = np.where(~train_mask)[0]
     rng.shuffle(remaining)
+    num_val = min(num_val, max(1, len(remaining) // 2))
     val_mask = np.zeros(num_nodes, bool)
     val_mask[remaining[:num_val]] = True
     test_mask = ~(train_mask | val_mask)
+    assert test_mask.sum() > 0 and val_mask.sum() > 0 and train_mask.sum() > 0
 
     g = make_graph(row, col, num_nodes=num_nodes,
                    pad_multiple=edge_pad_multiple)

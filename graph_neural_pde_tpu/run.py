@@ -77,6 +77,12 @@ def select_model(cfg: Config, num_features, num_classes, graph, pos_enc_dim=0):
 
 def main(cfg: Config, data_dir: str = "./data", verbose: bool = True,
          checkpoint_path: Optional[str] = None):
+    # fail fast on invalid block/function names (model_configurations.py
+    # semantics) instead of erroring mid-forward
+    from graph_neural_pde_tpu.models.registry import set_block, set_function
+    set_block(cfg)
+    set_function(cfg)
+
     dataset = get_dataset(cfg, data_dir, use_lcc=not cfg.not_lcc)
 
     pos_encoding = None
