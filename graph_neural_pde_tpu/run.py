@@ -182,8 +182,13 @@ def main(cfg: Config, data_dir: str = "./data", verbose: bool = True,
             best_time = float(snap.time)
 
         if verbose:
+            from graph_neural_pde_tpu.solvers.tableaus import TABLEAUS
+            bwd = (0 if cfg.adjoint else int(tstats["accepted"])
+                   * (TABLEAUS[cfg.method].num_stages
+                      if cfg.method in TABLEAUS else 1))
             print(f"Epoch: {epoch:03d}, Runtime {time.time() - t0:.6f}, "
                   f"Loss {float(loss):.6f}, forward nfe {int(tstats['nfe'])}, "
+                  f"backward nfe {bwd}, "
                   f"Train: {tr:.4f}, Val: {va:.4f}, Test: {te:.4f}, "
                   f"Best time: {best_time:.4f}")
     if verbose:

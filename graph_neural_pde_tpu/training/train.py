@@ -67,6 +67,7 @@ class EpochLog:
     val_acc: float
     test_acc: float
     fwd_nfe: int
+    bwd_nfe: int
     runtime: float
 
 
@@ -77,6 +78,15 @@ class Trainer:
         self.model = model
         self.cfg = model.cfg
         self.optimizer = make_optimizer(model.cfg)
+        # backward NFE per accepted forward step (the reference meters bwd
+        # NFE with a host counter, run_GNN.py:93-95): the discrete adjoint
+        # replays each accepted step once (same stage count); the continuous
+        # adjoint's count depends on its own adaptive solve (reported as 0).
+        from graph_neural_pde_tpu.solvers.tableaus import TABLEAUS
+        self._bwd_evals_per_step = (
+            0 if model.cfg.adjoint
+            else TABLEAUS[model.cfg.method].num_stages
+            if model.cfg.method in TABLEAUS else 1)
         _, self.reg_coeffs = active_regularizers(model.cfg)
         self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
@@ -202,11 +212,13 @@ class Trainer:
             if va > best["val_acc"]:
                 best = {"val_acc": va, "test_acc": te, "train_acc": tr,
                         "epoch": epoch}
+            bwd_nfe = int(tstats["accepted"]) * self._bwd_evals_per_step
             log = EpochLog(epoch, float(loss), tr, va, te,
-                           int(tstats["nfe"]), time.time() - t0)
+                           int(tstats["nfe"]), bwd_nfe, time.time() - t0)
             logs.append(log)
             if verbose and epoch % log_every == 0:
                 print(f"Epoch: {epoch:03d}, Runtime {log.runtime:.4f}, "
                       f"Loss {log.loss:.4f}, forward nfe {log.fwd_nfe}, "
+                      f"backward nfe {log.bwd_nfe}, "
                       f"Train: {tr:.4f}, Val: {va:.4f}, Test: {te:.4f}")
         return params, state, best, logs
