@@ -82,3 +82,44 @@ class TestShardedTraining:
             replicate(mesh, dataset.x), training=False)
         assert np.isfinite(np.asarray(logits)).all()
         assert int(stats["nfe"]) > 0
+
+
+class TestExplicitCollectives:
+    def test_shard_map_spmm_matches(self, mesh, dataset):
+        """Explicit shard_map+psum aggregation == single-device spmm."""
+        import jax.numpy as jnp
+        from graph_neural_pde_tpu.ops.spmm import spmm
+        from graph_neural_pde_tpu.parallel.mesh import shard_graph
+        from graph_neural_pde_tpu.parallel.shard_spmm import make_sharded_spmm
+
+        g = dataset.graph
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(g.num_nodes, 16)).astype(np.float32))
+        want = np.asarray(spmm(g, x))
+
+        g_sh = shard_graph(mesh, g)
+        spmm_fn = make_sharded_spmm(mesh, g_sh)
+        got = np.asarray(jax.jit(spmm_fn)(x, g_sh.weight))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_shard_map_spmm_in_model(self, mesh, dataset):
+        """The explicit-collective engine plugs into block_forward."""
+        import jax.numpy as jnp
+        from graph_neural_pde_tpu.models.blocks import (
+            block_forward, init_block, prepare_graph)
+        from graph_neural_pde_tpu.parallel.mesh import shard_graph
+        from graph_neural_pde_tpu.parallel.shard_spmm import make_sharded_spmm
+
+        cfg = Config(block="constant", function="laplacian", method="rk4",
+                     step_size=0.5, time=1.0, hidden_dim=8,
+                     self_loop_weight=1.0)
+        g = prepare_graph(cfg, dataset.graph)
+        g_sh = shard_graph(mesh, g)
+        spmm_fn = make_sharded_spmm(mesh, g_sh)
+        bparams = init_block(jax.random.PRNGKey(0), cfg, 8)
+        x = jnp.ones((g.num_nodes, 8))
+        z_ref, _, _ = block_forward(bparams, cfg, g, x, False)
+        z_sh, _, _ = block_forward(bparams, cfg, g_sh, x, False,
+                                   spmm_fn=spmm_fn)
+        np.testing.assert_allclose(np.asarray(z_sh), np.asarray(z_ref),
+                                   rtol=1e-4, atol=1e-5)
