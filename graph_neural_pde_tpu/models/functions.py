@@ -123,14 +123,55 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config, g: Graph):
     else:
         u = jnp.exp(s)
     u = jnp.where(g.mask[:, None], u, 0.0)                   # [E, H]
+    ax = _fused_normalized_aggregate(cfg, g, u, gathered, x)
+    f = _alpha(cfg, fparams) * (ax - x)
+    return _source(cfg, fparams, f, aux)
 
-    ones = jnp.ones((gathered.shape[0], 1), x.dtype)
-    feat1 = jnp.concatenate([gathered, ones], axis=1)         # [E, D+1]
+
+def _fused_normalized_aggregate(cfg: Config, g: Graph, u, gathered_x, x):
+    """Shared tail of the fused RHS paths: one scatter produces per-head
+    numerators and denominators (ones column), then mean over heads.
+
+    u: [E, H] unnormalised positive scores (masked); gathered_x: x[col]."""
+    h = cfg.heads
+    d = x.shape[1]
+    ones = jnp.ones((gathered_x.shape[0], 1), x.dtype)
+    feat1 = jnp.concatenate([gathered_x, ones], axis=1)       # [E, D+1]
     vals = (u[:, :, None] * feat1[:, None, :]).reshape(-1, h * (d + 1))
     agg = jax.ops.segment_sum(vals, g.row, num_segments=g.num_nodes,
                               indices_are_sorted=g.rows_sorted)
     agg = agg.reshape(g.num_nodes, h, d + 1)
-    ax = jnp.mean(agg[:, :, :d] / (agg[:, :, d:] + 1e-16), axis=1)
+    return jnp.mean(agg[:, :, :d] / (agg[:, :, d:] + 1e-16), axis=1)
+
+
+def _gat_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config, g: Graph):
+    """GAT RHS with separable scores and folded normalisation.
+
+    The GAT score a·[Wx_row ‖ Wx_col] (function_GAT_attention.py:110-113)
+    splits into s_src[row] + s_dst[col], so the per-edge work is two scalar
+    gathers — s_dst packs into the x[col] gather table, leaving the same
+    3-indexed-op structure as the fused transformer path.
+    """
+    ap = fparams["att"]
+    h = cfg.heads
+    d = x.shape[1]
+    d_k = cfg.attention_dim // h
+    wx = x @ ap["W"]                                          # [N, att_dim]
+    hh = wx.reshape(-1, h, d_k)
+    a_vec = ap["a"][:, 0]
+    s_src = jnp.einsum("nhd,d->nh", hh, a_vec[:d_k])          # [N, H]
+    s_dst = jnp.einsum("nhd,d->nh", hh, a_vec[d_k:])
+
+    pack = jnp.concatenate([s_dst, x], axis=1)                # [N, H+D]
+    dst_pack = pack[g.col]
+    scores = jax.nn.leaky_relu(s_src[g.row] + dst_pack[:, :h],
+                               cfg.leaky_relu_slope)          # [E, H]
+    gathered = dst_pack[:, h:]
+
+    gmax = jnp.max(jnp.where(g.mask[:, None], scores, -jnp.inf))
+    gmax = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
+    u = jnp.where(g.mask[:, None], jnp.exp(scores - gmax), 0.0)
+    ax = _fused_normalized_aggregate(cfg, g, u, gathered, x)
     f = _alpha(cfg, fparams) * (ax - x)
     return _source(cfg, fparams, f, aux)
 
@@ -184,8 +225,12 @@ def make_rhs(cfg: Config, g: Graph, spmm_fn: Optional[Callable] = None
         return rhs
 
     if cfg.function == "GAT":
+        use_fused_gat = (cfg.fused_attention_agg and not cfg.mix_features
+                         and cfg.attention_norm_idx == 0)
 
         def rhs(fparams, aux: FuncAux, t, x):
+            if use_fused_gat:
+                return _gat_rhs_fused(fparams, aux, t, x, cfg, g)
             attention, wx = apply_gat_attention(fparams["att"], cfg, x, g)
             if cfg.mix_features:
                 # per-head spmm of the full wx, meaned, then Wout

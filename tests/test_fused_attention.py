@@ -81,3 +81,54 @@ class TestFusedEquivalence:
         np.testing.assert_allclose(np.asarray(spmm(g, x)),
                                    np.asarray(spmm(g.sort_by_row(), x)),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestGATFused:
+    def test_gat_fused_matches_exact(self):
+        rng = np.random.default_rng(7)
+        n, e, d = 30, 120, 12
+        g0 = make_graph(rng.integers(0, n, e).astype(np.int32),
+                        rng.integers(0, n, e).astype(np.int32), None,
+                        num_nodes=n, capacity=160)
+        cfg = Config(function="GAT", block="constant", hidden_dim=d,
+                     attention_dim=d, heads=3, attention_norm_idx=0,
+                     self_loop_weight=1.0, add_source=True,
+                     leaky_relu_slope=0.2)
+        from graph_neural_pde_tpu.models.blocks import prepare_graph
+        g = prepare_graph(cfg, g0)
+        x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+        params = init_func_params(jax.random.PRNGKey(1), cfg, d)
+        aux = FuncAux(attention=None, x0=x, edge_weight=g.weight)
+        f1 = np.asarray(make_rhs(cfg.replace(fused_attention_agg=True), g)(
+            params, aux, 0.0, x))
+        f2 = np.asarray(make_rhs(cfg.replace(fused_attention_agg=False), g)(
+            params, aux, 0.0, x))
+        np.testing.assert_allclose(f1, f2, rtol=2e-4, atol=2e-5)
+
+    def test_gat_fused_gradients(self):
+        rng = np.random.default_rng(8)
+        n, e, d = 20, 60, 8
+        g0 = make_graph(rng.integers(0, n, e).astype(np.int32),
+                        rng.integers(0, n, e).astype(np.int32), None,
+                        num_nodes=n, capacity=64)
+        cfg = Config(function="GAT", block="constant", hidden_dim=d,
+                     attention_dim=d, heads=2, attention_norm_idx=0,
+                     self_loop_weight=1.0)
+        from graph_neural_pde_tpu.models.blocks import prepare_graph
+        g = prepare_graph(cfg, g0)
+        x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+        params = init_func_params(jax.random.PRNGKey(2), cfg, d)
+        aux = FuncAux(attention=None, x0=x, edge_weight=g.weight)
+
+        def loss(p, fused):
+            rhs = make_rhs(cfg.replace(fused_attention_agg=fused), g)
+            return jnp.sum(rhs(p, aux, 0.0, x) ** 2)
+
+        g1 = jax.grad(lambda p: loss(p, True))(params)
+        g2 = jax.grad(lambda p: loss(p, False))(params)
+        np.testing.assert_allclose(np.asarray(g1["att"]["W"]),
+                                   np.asarray(g2["att"]["W"]),
+                                   rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g1["att"]["a"]),
+                                   np.asarray(g2["att"]["a"]),
+                                   rtol=1e-3, atol=1e-5)
