@@ -222,3 +222,27 @@ class TestEndToEnd:
         trainer = Trainer(model)
         _, _, best, logs = trainer.fit(dataset, verbose=False)
         assert np.isfinite(logs[-1].loss)
+
+
+class TestMixedBlockOracle:
+    def test_mixed_matches_dense_formula(self, dataset):
+        """Mixed transition = (1−σγ)·mean-head attention + σγ·rw weights,
+        checked against the explicit dense formula
+        (/root/reference/test/test_block_mixed.py:65-80)."""
+        from graph_neural_pde_tpu.models.attention import (
+            apply_transformer_attention)
+        from graph_neural_pde_tpu.models.blocks import (
+            build_aux, init_block, prepare_graph)
+        cfg = small_cfg(block="mixed")
+        g = prepare_graph(cfg, dataset.graph)
+        bparams = init_block(jax.random.PRNGKey(3), cfg, 12)
+        x = jnp.asarray(np.random.default_rng(4).normal(
+            size=(g.num_nodes, 12)).astype(np.float32))
+        aux, _ = build_aux(bparams, cfg, g, x, training=True)
+        att, _ = apply_transformer_attention(bparams["att"], cfg, x, g,
+                                             edge_weight=g.weight)
+        gamma = jax.nn.sigmoid(bparams["gamma"][0])
+        want = (np.asarray(jnp.mean(att, axis=1)) * (1 - float(gamma))
+                + np.asarray(g.weight) * float(gamma))
+        np.testing.assert_allclose(np.asarray(aux.attention), want,
+                                   rtol=1e-5, atol=1e-6)
