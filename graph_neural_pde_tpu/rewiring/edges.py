@@ -83,6 +83,20 @@ def threshold_edges_by_attention(g: Graph, mean_attention: np.ndarray,
     return _rebuild(g, r[keep], c[keep], capacity)
 
 
+def threshold_edges_by_distance(g: Graph, embeddings: np.ndarray,
+                                rmv_frac: float,
+                                capacity: Optional[int] = None) -> Graph:
+    """Drop the rmv_frac of edges with the LARGEST embedding distance
+    (edge_sampling 'pos_distance'/'z_distance' spaces,
+    graph_rewiring.py:159-167: keep distances below the 1−rmv quantile)."""
+    emb = np.asarray(embeddings)
+    r, c = _valid_edges(g)
+    d = np.linalg.norm(emb[r] - emb[c], axis=1)
+    thresh = np.quantile(d, 1.0 - rmv_frac)
+    keep = d < thresh
+    return _rebuild(g, r[keep], c[keep], capacity)
+
+
 def apply_knn_rewire(embeddings, cfg: Config, g: Graph,
                      capacity: Optional[int] = None) -> Graph:
     """BLEND kNN rewiring on evolved embeddings (apply_KNN,
@@ -94,10 +108,12 @@ def apply_knn_rewire(embeddings, cfg: Config, g: Graph,
 
 def apply_edge_sampling(g: Graph, cfg: Config, mean_attention_fn: Callable,
                         rng: np.random.Generator,
-                        capacity: Optional[int] = None) -> Graph:
+                        capacity: Optional[int] = None,
+                        embeddings: Optional[np.ndarray] = None) -> Graph:
     """Densify-then-sparsify epoch hook (apply_edge_sampling,
-    graph_rewiring.py:227-241): add edges, recompute attention on the denser
-    graph, drop the weakest.
+    graph_rewiring.py:227-241): add edges, then drop the weakest by attention
+    (edge_sampling_space='attention') or the farthest by embedding distance
+    ('pos_distance'/'z_distance' spaces, with ``embeddings``).
 
     mean_attention_fn(graph) -> [capacity] head-mean attention per edge slot.
 
@@ -117,6 +133,10 @@ def apply_edge_sampling(g: Graph, cfg: Config, mean_attention_fn: Callable,
         g2 = add_importance_edges(g, att0, cfg.edge_sampling_add, rng, cap)
     else:
         g2 = g
+    if cfg.edge_sampling_space != "attention" and embeddings is not None:
+        return threshold_edges_by_distance(g2, embeddings,
+                                           cfg.edge_sampling_rmv,
+                                           capacity=cap)
     att = np.asarray(mean_attention_fn(g2))
     return threshold_edges_by_attention(g2, att, cfg.edge_sampling_rmv,
                                         capacity=cap)

@@ -198,3 +198,18 @@ class TestEdgeSurgery:
         att = np.linspace(0, 1, g.capacity)
         g2 = threshold_edges_by_attention(g, att, 0.5, capacity=g.capacity)
         assert int(g2.num_edges) < int(g.num_edges)
+
+
+class TestDistanceEdgeSampling:
+    def test_drops_farthest(self):
+        from graph_neural_pde_tpu.rewiring.edges import (
+            threshold_edges_by_distance)
+        g = ring_graph(10)
+        emb = np.arange(10, dtype=np.float32)[:, None] ** 2  # wrap edge 9-0 far
+        g2 = threshold_edges_by_distance(g, emb, 0.3, capacity=g.capacity)
+        r = np.asarray(g2.row)[np.asarray(g2.mask)]
+        c = np.asarray(g2.col)[np.asarray(g2.mask)]
+        # the long wrap-around edges (0,9)/(9,0) must be gone
+        pairs = set(zip(r.tolist(), c.tolist()))
+        assert (9, 0) not in pairs and (0, 9) not in pairs
+        assert int(g2.num_edges) < int(g.num_edges)
