@@ -68,7 +68,11 @@ class GNNEarlyModel(GNNModel):
                     accuracy(logits, y, val_mask),
                     accuracy(logits, y, test_mask))
 
-        opts = SolverOptions.from_config(cfg)
+        # the early-stop integrator needs a stepping method (the reference's
+        # EarlyStopInt likewise supports only rk4/dopri5,
+        # early_stop_solver.py:288); the expm solve has no steps to evaluate
+        es_cfg = cfg.replace(method="dopri5") if cfg.method == "cheby" else cfg
+        opts = SolverOptions.from_config(es_cfg)
         t_ext = cfg.earlystopxT * cfg.time   # EarlyStopInt t (early_stop_solver.py:244)
         zT, best, stats = odeint_early_stop(
             func, {"f": params["block"]["func"], "aux": aux}, x0, 0.0,

@@ -122,3 +122,24 @@ class TestChebyModel:
         trainer = Trainer(model)
         _, _, best, _ = trainer.fit(dataset, epochs=15, verbose=False)
         assert best["val_acc"] > 0.6, best
+
+
+class TestChebyEarlyStop:
+    def test_early_stop_with_cheby_training_method(self, dataset):
+        """GNNEarly + method='cheby': the early-stop eval falls back to a
+        stepping method (the reference's EarlyStopInt supports only
+        rk4/dopri5 — early_stop_solver.py:288)."""
+        from graph_neural_pde_tpu.models.gnn_early import GNNEarlyModel
+        cfg = Config(block="attention", function="laplacian", method="cheby",
+                     hidden_dim=10, attention_dim=10, heads=2,
+                     input_dropout=0.0, dropout=0.0, add_source=True,
+                     time=3.0, tol_scale=100.0, no_early=False,
+                     max_test_steps=10)
+        model = GNNEarlyModel(cfg, dataset.num_features, dataset.num_classes,
+                              dataset.graph)
+        params, state = model.init(jax.random.PRNGKey(0))
+        logits, best, stats = model.apply_early(
+            params, state, dataset.x, dataset.y,
+            (dataset.train_mask, dataset.val_mask, dataset.test_mask))
+        assert np.isfinite(np.asarray(logits)).all()
+        assert 0.0 <= float(best.val) <= 1.0
