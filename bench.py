@@ -55,7 +55,7 @@ def build_benchmark(num_nodes=169_343, num_edges=1_166_243, hidden=128,
         method="rk4", step_size=1.0, time=3.6760155951687636,
         hidden_dim=hidden, attention_dim=attention_dim, heads=heads,
         self_loop_weight=1.0, add_source=False, input_dropout=0.0, dropout=0.0,
-        max_nfe=1000,
+        max_nfe=1000, stripe_fused=True,
     )
     model = GNNModel(cfg, num_features, num_classes, g)
     params, state = model.init(jax.random.PRNGKey(seed))

@@ -148,6 +148,10 @@ class Config:
     # sparsity) or 'pallas_blocked' (one-hot MXU kernels over node blocks;
     # best for block-local graphs: pixel grids, clustered/reordered graphs)
     spmm_impl: str = "xla"
+    # route the fused attention RHS's row-side gather and aggregation scatter
+    # through the stripe MXU kernels (ops/pallas/stripe.py) — TPU compiled
+    # path only; CPU tests exercise it in interpret mode
+    stripe_fused: bool = False
     spmm_block_n: int = 1024   # 512 triggers a Mosaic compiler fault on v5e
     spmm_chunk: int = 1024
     edge_pad_multiple: int = 512       # pad edge count to a multiple (static shapes)

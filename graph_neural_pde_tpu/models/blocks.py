@@ -83,6 +83,39 @@ def build_spmm_engine(cfg: Config, g: Graph):
     return g2, make_spmm(plans)
 
 
+def build_stripe_engine(cfg: Config, g: Graph):
+    """Reorder a row-sorted graph into the stripe-plan slot layout and build
+    the plan for the MXU row-gather/scatter kernels (ops/pallas/stripe.py).
+
+    Returns (g_stripe, plan | None). Applies when the fused attention RHS is
+    active (function transformer/GAT, attention_norm_idx 0) and
+    cfg.stripe_fused is set; node count pads to block_n (callers pad x)."""
+    if (not cfg.stripe_fused or not cfg.fused_attention_agg
+            or cfg.function not in ("transformer", "GAT") or cfg.mix_features
+            or cfg.attention_norm_idx != 0
+            or (cfg.beltrami and cfg.attention_type == "exp_kernel")):
+        return g, None
+    import numpy as np
+    from graph_neural_pde_tpu.ops.pallas.stripe import build_stripe_plan
+    assert g.rows_sorted, "prepare_graph must run before build_stripe_engine"
+    plan = build_stripe_plan(np.asarray(g.row), np.asarray(g.mask),
+                             num_nodes=g.num_nodes,
+                             block_n=cfg.spmm_block_n, chunk=cfg.spmm_chunk)
+    idx = np.where(np.asarray(g.mask))[0]
+    slots = np.asarray(plan.slot_of_edge)[idx]
+    cap = plan.capacity
+    row_s = np.zeros(cap, np.int32)
+    col_s = np.zeros(cap, np.int32)
+    w_s = np.zeros(cap, np.float32)
+    row_s[slots] = np.asarray(g.row)[idx]
+    col_s[slots] = np.asarray(g.col)[idx]
+    w_s[slots] = np.asarray(g.weight)[idx]
+    g2 = Graph(row=jnp.asarray(row_s), col=jnp.asarray(col_s),
+               weight=jnp.asarray(w_s), mask=jnp.asarray(plan.valid),
+               num_nodes=plan.num_nodes, rows_sorted=True)
+    return g2, plan
+
+
 def init_block(key, cfg: Config, in_dim: int):
     """Learnable block parameters: the ODE function's params, plus a
     block-level attention layer / gamma where the reference has one."""
@@ -183,7 +216,7 @@ def build_aux(bparams, cfg: Config, g: Graph, x, training: bool
 
 
 def block_forward(bparams, cfg: Config, g: Graph, x, training: bool,
-                  spmm_fn=None):
+                  spmm_fn=None, stripe_plan=None):
     """Solve the IVP over [0, T]. Returns (z, stats, reg_states).
 
     Training uses cfg.method with cfg.adjoint's gradient path; evaluation
@@ -224,7 +257,7 @@ def block_forward(bparams, cfg: Config, g: Graph, x, training: bool,
                  "t_final": jnp.asarray(cfg.time, jnp.float32)}
         return z, stats, ()
 
-    rhs = make_rhs(cfg, g_run)
+    rhs = make_rhs(cfg, g_run, spmm_fn=spmm_fn, stripe_plan=stripe_plan)
     if use_reg:
         rhs_run = wrap_regularized(rhs, reg_names)
         state0 = (x,) + tuple(jnp.zeros((x.shape[0],)) for _ in reg_names)

@@ -76,7 +76,8 @@ def _source(cfg: Config, fparams, f, aux: FuncAux):
     return f
 
 
-def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config, g: Graph):
+def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
+                           g: Graph, stripe_plan=None):
     """GRAND-nl RHS with the normalisation folded into the aggregation.
 
     For attention_norm_idx == 0 the softmax groups coincide with the SpMM
@@ -104,7 +105,11 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config, g: Graph):
         q = _lin(ap["Q"], x)
         pack = jnp.concatenate([_lin(ap["K"], x), x], axis=1)
         dst_pack = pack[g.col]
-        src = q[g.row].reshape(-1, h, d_k)
+        if stripe_plan is not None:
+            from graph_neural_pde_tpu.ops.pallas.stripe import stripe_gather
+            src = stripe_gather(stripe_plan, q).reshape(-1, h, d_k)
+        else:
+            src = q[g.row].reshape(-1, h, d_k)
         dst = dst_pack[:, : cfg.attention_dim].reshape(-1, h, d_k)
         gathered = dst_pack[:, cfg.attention_dim:]            # x[col]
         prods = _scores(cfg, src, dst, d_k, ap)
@@ -123,12 +128,13 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config, g: Graph):
     else:
         u = jnp.exp(s)
     u = jnp.where(g.mask[:, None], u, 0.0)                   # [E, H]
-    ax = _fused_normalized_aggregate(cfg, g, u, gathered, x)
+    ax = _fused_normalized_aggregate(cfg, g, u, gathered, x, stripe_plan)
     f = _alpha(cfg, fparams) * (ax - x)
     return _source(cfg, fparams, f, aux)
 
 
-def _fused_normalized_aggregate(cfg: Config, g: Graph, u, gathered_x, x):
+def _fused_normalized_aggregate(cfg: Config, g: Graph, u, gathered_x, x,
+                                stripe_plan=None):
     """Shared tail of the fused RHS paths: one scatter produces per-head
     numerators and denominators (ones column), then mean over heads.
 
@@ -138,13 +144,18 @@ def _fused_normalized_aggregate(cfg: Config, g: Graph, u, gathered_x, x):
     ones = jnp.ones((gathered_x.shape[0], 1), x.dtype)
     feat1 = jnp.concatenate([gathered_x, ones], axis=1)       # [E, D+1]
     vals = (u[:, :, None] * feat1[:, None, :]).reshape(-1, h * (d + 1))
-    agg = jax.ops.segment_sum(vals, g.row, num_segments=g.num_nodes,
-                              indices_are_sorted=g.rows_sorted)
+    if stripe_plan is not None:
+        from graph_neural_pde_tpu.ops.pallas.stripe import stripe_scatter_add
+        agg = stripe_scatter_add(stripe_plan, vals)
+    else:
+        agg = jax.ops.segment_sum(vals, g.row, num_segments=g.num_nodes,
+                                  indices_are_sorted=g.rows_sorted)
     agg = agg.reshape(g.num_nodes, h, d + 1)
     return jnp.mean(agg[:, :, :d] / (agg[:, :, d:] + 1e-16), axis=1)
 
 
-def _gat_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config, g: Graph):
+def _gat_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config, g: Graph,
+                   stripe_plan=None):
     """GAT RHS with separable scores and folded normalisation.
 
     The GAT score a·[Wx_row ‖ Wx_col] (function_GAT_attention.py:110-113)
@@ -164,20 +175,25 @@ def _gat_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config, g: Graph):
 
     pack = jnp.concatenate([s_dst, x], axis=1)                # [N, H+D]
     dst_pack = pack[g.col]
-    scores = jax.nn.leaky_relu(s_src[g.row] + dst_pack[:, :h],
+    if stripe_plan is not None:
+        from graph_neural_pde_tpu.ops.pallas.stripe import stripe_gather
+        s_src_e = stripe_gather(stripe_plan, s_src)
+    else:
+        s_src_e = s_src[g.row]
+    scores = jax.nn.leaky_relu(s_src_e + dst_pack[:, :h],
                                cfg.leaky_relu_slope)          # [E, H]
     gathered = dst_pack[:, h:]
 
     gmax = jnp.max(jnp.where(g.mask[:, None], scores, -jnp.inf))
     gmax = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
     u = jnp.where(g.mask[:, None], jnp.exp(scores - gmax), 0.0)
-    ax = _fused_normalized_aggregate(cfg, g, u, gathered, x)
+    ax = _fused_normalized_aggregate(cfg, g, u, gathered, x, stripe_plan)
     f = _alpha(cfg, fparams) * (ax - x)
     return _source(cfg, fparams, f, aux)
 
 
-def make_rhs(cfg: Config, g: Graph, spmm_fn: Optional[Callable] = None
-             ) -> Callable:
+def make_rhs(cfg: Config, g: Graph, spmm_fn: Optional[Callable] = None,
+             stripe_plan=None) -> Callable:
     """Build rhs(fparams, aux, t, x) for cfg.function over graph structure g.
 
     g's row/col/mask are static-shaped index data; all differentiable inputs
@@ -211,7 +227,8 @@ def make_rhs(cfg: Config, g: Graph, spmm_fn: Optional[Callable] = None
 
         def rhs(fparams, aux: FuncAux, t, x):
             if use_fused:
-                return _transformer_rhs_fused(fparams, aux, t, x, cfg, g)
+                return _transformer_rhs_fused(fparams, aux, t, x, cfg, g,
+                                              stripe_plan)
             attention, v = apply_transformer_attention(
                 fparams["att"], cfg, x, g, edge_weight=aux.edge_weight)
             if cfg.mix_features:
@@ -230,7 +247,7 @@ def make_rhs(cfg: Config, g: Graph, spmm_fn: Optional[Callable] = None
 
         def rhs(fparams, aux: FuncAux, t, x):
             if use_fused_gat:
-                return _gat_rhs_fused(fparams, aux, t, x, cfg, g)
+                return _gat_rhs_fused(fparams, aux, t, x, cfg, g, stripe_plan)
             attention, wx = apply_gat_attention(fparams["att"], cfg, x, g)
             if cfg.mix_features:
                 # per-head spmm of the full wx, meaned, then Wout

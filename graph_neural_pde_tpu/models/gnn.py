@@ -54,11 +54,12 @@ class GNNModel:
         self.graph = prepare_graph(cfg, graph)
         self.num_nodes = self.graph.num_nodes
 
-        # optional Pallas blocked aggregation engine: reorder the graph into
-        # the (row_block, col_block) plan layout once and close the kernel
-        # over the static plans (see ops/pallas; wins on block-local graphs)
-        from graph_neural_pde_tpu.models.blocks import build_spmm_engine
+        # optional Pallas engines: blocked spmm (laplacian, block-local
+        # graphs) or stripe row-gather/scatter for the fused attention RHS
+        from graph_neural_pde_tpu.models.blocks import (
+            build_spmm_engine, build_stripe_engine)
         self.graph, self.spmm_fn = build_spmm_engine(cfg, self.graph)
+        self.graph, self.stripe_plan = build_stripe_engine(cfg, self.graph)
 
         # width bookkeeping (the reference mutates opt['hidden_dim'] at
         # base_classes.py:110-124; here the widths are explicit)
@@ -156,7 +157,8 @@ class GNNModel:
             x0 = jnp.pad(x0, ((0, g.num_nodes - n), (0, 0)))
         z, stats, reg_states = block_forward(params["block"], self.cfg, g,
                                              x0, training,
-                                             spmm_fn=self.spmm_fn)
+                                             spmm_fn=self.spmm_fn,
+                                             stripe_plan=self.stripe_plan)
         z = z[:n]
         logits = self.decode(params, z, training, k_dec)
         return logits, new_state, stats, reg_states

@@ -1,0 +1,252 @@
+"""Row-stripe Pallas kernels: MXU gather/scatter along the sorted-row axis.
+
+The general blocked kernel (spmm_blocked) buckets edges by (row_block,
+col_block) and pays padding whenever buckets are sparse. But two of the three
+indexed ops in the fused attention RHS only index the ROW side:
+
+  * gathering q[row]  (narrow: attention_dim floats per edge)
+  * scattering per-edge values into out[row]
+
+and edges sorted by row are *perfectly* stripe-local: every edge in a chunk
+has its row inside one node block, so a one-hot matmul against the
+VMEM-resident block replaces the indexed op with MXU work and the only
+padding is one partial chunk per node block (<10% on real graphs).
+
+FLOP cost per edge: block_n · width · 2 — with block_n=1024 and width ≤ 258
+that is ≤ 0.5 MFLOP/edge ≈ 0.3–2.7 ns/edge on a v5e MXU, versus ~12 ns/edge
+for an XLA indexed op. The column-side gather keeps the XLA path (column
+indices are not stripe-local).
+
+Measured (v5e, 2.5M edges): the scatter wins 1.7x over XLA's sorted
+segment-sum (35 vs 60 ms at width 256); the gather only ties XLA (~30 ms) —
+the one-hot construction + relayout, not the matmul, dominates, and chunk
+size barely moves it. Net fused-RHS gain ≈ 3% today; revisit when Mosaic can
+fuse the compare into the MXU operand feed.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=("row_local", "valid", "chunk_rows", "slot_of_edge"),
+         meta_fields=("block_n", "chunk", "num_nodes"))
+@dataclass(frozen=True)
+class StripePlan:
+    """Edges sorted by row, chunked without crossing node-block boundaries.
+
+    row_local    : int32[capacity] — row id within the chunk's node block
+    valid        : bool[capacity]
+    chunk_rows   : int32[n_chunks] — node-block id per chunk
+    slot_of_edge : int32[E_in] — plan slot of each input edge (for scattering
+                   per-edge values computed in input order into plan order)
+    """
+
+    row_local: np.ndarray
+    valid: np.ndarray
+    chunk_rows: np.ndarray
+    slot_of_edge: np.ndarray
+    block_n: int
+    chunk: int
+    num_nodes: int
+
+    @property
+    def n_chunks(self) -> int:
+        return self.chunk_rows.shape[0]
+
+    @property
+    def capacity(self) -> int:
+        return self.row_local.shape[0]
+
+
+def build_stripe_plan(row, mask=None, *, num_nodes: int, block_n: int = 1024,
+                      chunk: int = 1024) -> StripePlan:
+    """Host-side builder. ``row`` must already be sorted ascending over the
+    valid entries (Graph.sort_by_row guarantees this)."""
+    row = np.asarray(row, np.int64)
+    e_in = row.shape[0]
+    valid_in = (np.ones(e_in, bool) if mask is None
+                else np.asarray(mask, bool))
+    idx = np.where(valid_in)[0]
+    r = row[idx]
+    assert (np.diff(r) >= 0).all(), "rows must be sorted (Graph.sort_by_row)"
+
+    n_pad = ((num_nodes + block_n - 1) // block_n) * block_n
+    nblocks = n_pad // block_n
+    rb = r // block_n
+
+    chunks = []          # (block_id, src_start, n_valid)
+    for b in range(nblocks):
+        lo, hi = np.searchsorted(rb, [b, b + 1])
+        cnt = hi - lo
+        pc = max(1, -(-cnt // chunk))
+        for j in range(pc):
+            s = lo + j * chunk
+            chunks.append((b, s, min(chunk, max(hi - s, 0))))
+
+    nc = len(chunks)
+    cap = nc * chunk
+    row_local = np.zeros(cap, np.int32)
+    valid = np.zeros(cap, bool)
+    chunk_rows = np.zeros(nc, np.int32)
+    slot_of_edge = np.zeros(e_in, np.int64)
+    for ci, (b, s, nv) in enumerate(chunks):
+        chunk_rows[ci] = b
+        if nv:
+            dst = slice(ci * chunk, ci * chunk + nv)
+            row_local[dst] = (r[s:s + nv] - b * block_n).astype(np.int32)
+            valid[dst] = True
+            slot_of_edge[idx[s:s + nv]] = np.arange(ci * chunk,
+                                                    ci * chunk + nv)
+    return StripePlan(row_local=row_local, valid=valid,
+                      chunk_rows=chunk_rows,
+                      slot_of_edge=slot_of_edge.astype(np.int32),
+                      block_n=block_n, chunk=chunk, num_nodes=n_pad)
+
+
+# ---------------------------------------------------------------------------
+# stripe gather: out[e] = table[row[e]]  (per-edge copies of node rows)
+# ---------------------------------------------------------------------------
+
+def _gather_kernel(cr_ref, rowl_ref, tab_ref, out_ref, *, chunk, block_n,
+                   dtype):
+    iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, block_n), 1)
+    p = (rowl_ref[:][:, None] == iota).astype(dtype)
+    out_ref[:] = jnp.dot(p, tab_ref[:].astype(dtype),
+                         preferred_element_type=jnp.float32)
+
+
+def _stripe_gather_call(plan: StripePlan, table: jax.Array,
+                        dtype=jnp.bfloat16, interpret: bool | None = None
+                        ) -> jax.Array:
+    """[capacity, D] = table[row] in plan slot order. table: [num_nodes, D]."""
+    n_pad, d = table.shape
+    assert n_pad == plan.num_nodes
+    chunk, block_n, nc = plan.chunk, plan.block_n, plan.n_chunks
+    if interpret is None:
+        interpret = not _on_tpu()
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((chunk,), lambda i, cr: (i,)),
+            pl.BlockSpec((block_n, d), lambda i, cr: (cr[i], 0)),
+        ],
+        out_specs=pl.BlockSpec((chunk, d), lambda i, cr: (i, 0)),
+    )
+    kernel = functools.partial(_gather_kernel, chunk=chunk, block_n=block_n,
+                               dtype=dtype)
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.capacity, d), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(plan.chunk_rows), jnp.asarray(plan.row_local), table)
+
+
+# ---------------------------------------------------------------------------
+# stripe scatter-add: out[row[e]] += vals[e]
+# ---------------------------------------------------------------------------
+
+def _scatter_kernel(cr_ref, rowl_ref, vals_ref, out_ref, *, chunk, block_n,
+                    dtype):
+    i = pl.program_id(0)
+    prev = cr_ref[jnp.maximum(i - 1, 0)]
+
+    @pl.when((i == 0) | (cr_ref[i] != prev))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # s[i, e] = (row_local[e] == i): compare against the ROW index
+    iota = jax.lax.broadcasted_iota(jnp.int32, (block_n, chunk), 0)
+    s = (rowl_ref[:][None, :] == iota).astype(dtype)
+    out_ref[:] += jnp.dot(s, vals_ref[:].astype(dtype),
+                          preferred_element_type=jnp.float32)
+
+
+def _stripe_scatter_call(plan: StripePlan, vals: jax.Array,
+                         dtype=jnp.bfloat16, interpret: bool | None = None
+                         ) -> jax.Array:
+    """[num_nodes, D] = segment-sum of vals [capacity, D] by plan rows.
+
+    Invalid slots must carry zero values (mask upstream)."""
+    cap, d = vals.shape
+    assert cap == plan.capacity
+    chunk, block_n, nc = plan.chunk, plan.block_n, plan.n_chunks
+    if interpret is None:
+        interpret = not _on_tpu()
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((chunk,), lambda i, cr: (i,)),
+            pl.BlockSpec((chunk, d), lambda i, cr: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_n, d), lambda i, cr: (cr[i], 0)),
+    )
+    kernel = functools.partial(_scatter_kernel, chunk=chunk, block_n=block_n,
+                               dtype=dtype)
+    flops = 2 * nc * chunk * block_n * d
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.num_nodes, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=nc * chunk * d * 4,
+                                      transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(plan.chunk_rows), jnp.asarray(plan.row_local), vals)
+
+
+# ---------------------------------------------------------------------------
+# differentiable wrappers: gather and scatter-add are each other's transpose
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def stripe_gather(plan: StripePlan, table: jax.Array) -> jax.Array:
+    """Differentiable out[e] = table[row[e]] (plan slot order)."""
+    return _stripe_gather_call(plan, table)
+
+
+def _sg_fwd(plan, table):
+    return _stripe_gather_call(plan, table), None
+
+
+def _sg_bwd(plan, _res, ct):
+    return (_stripe_scatter_call(plan, ct),)
+
+
+stripe_gather.defvjp(_sg_fwd, _sg_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def stripe_scatter_add(plan: StripePlan, vals: jax.Array) -> jax.Array:
+    """Differentiable out[n] = sum_e∈rows(n) vals[e]. Invalid slots must be 0."""
+    return _stripe_scatter_call(plan, vals)
+
+
+def _ss_fwd(plan, vals):
+    return _stripe_scatter_call(plan, vals), None
+
+
+def _ss_bwd(plan, _res, ct):
+    # mask the gathered cotangent so padding slots stay grad-free
+    g = _stripe_gather_call(plan, ct)
+    return (g * jnp.asarray(plan.valid, g.dtype)[:, None],)
+
+
+stripe_scatter_add.defvjp(_ss_fwd, _ss_bwd)
