@@ -94,6 +94,19 @@ def main(cfg: Config, data_dir: str = "./data", verbose: bool = True,
         pos_encoding = jnp.asarray(pe)
         dataset.pos_encoding = pos_encoding
 
+    # fixed geom-gcn splits for the heterophilic datasets (run_GNN.py uses
+    # get_fixed_splits via --geom_gcn_splits; heterophilic.py:295-319)
+    if cfg.geom_gcn_splits:
+        import jax.numpy as jnp
+        from graph_neural_pde_tpu.data.datasets import load_geom_gcn_split
+        import os
+        tm, vm, sm = load_geom_gcn_split(
+            os.path.join(data_dir, "splits"), cfg.dataset,
+            split_idx=cfg.seed % 10, n=int(dataset.y.shape[0]))
+        dataset.train_mask = jnp.asarray(tm)
+        dataset.val_mask = jnp.asarray(vm)
+        dataset.test_mask = jnp.asarray(sm)
+
     # random development split for the citation graphs (run_GNN.py:237-238)
     if not cfg.planetoid_split and cfg.dataset in ("Cora", "Citeseer",
                                                    "Pubmed"):

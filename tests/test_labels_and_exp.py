@@ -66,3 +66,41 @@ class TestVisualise:
         paths = np.random.default_rng(0).random((2, 3, 16))
         fig = plot_image_trajectory(paths, 4, 4)
         assert fig is not None
+
+
+class TestGeomGcnSplits:
+    def test_cli_loads_fixed_split(self, tmp_path):
+        """--geom_gcn_splits reads {data_dir}/splits/{ds}_split_0.6_0.2_k.npz."""
+        import jax.numpy as jnp
+        from graph_neural_pde_tpu.run import main
+        n = 183  # cornell synthetic stand-in size
+        rng = np.random.default_rng(0)
+        d = tmp_path / "splits"
+        d.mkdir()
+        tm = np.zeros(n, bool); tm[:100] = True
+        vm = np.zeros(n, bool); vm[100:140] = True
+        sm = np.zeros(n, bool); sm[140:] = True
+        np.savez(d / "cornell_split_0.6_0.2_0.npz", train_mask=tm,
+                 val_mask=vm, test_mask=sm)
+        cfg = Config(dataset="cornell", geom_gcn_splits=True, hidden_dim=8,
+                     method="rk4", step_size=0.5, time=1.0, epoch=3,
+                     input_dropout=0.0, dropout=0.0, seed=0)
+        tr, va, te = main(cfg, str(tmp_path), verbose=False)
+        assert 0.0 <= va <= 1.0
+
+
+class TestAdjointWithRegularizers:
+    def test_tuple_state_adjoint_trains(self):
+        from graph_neural_pde_tpu.data.synthetic import make_sbm_dataset
+        from graph_neural_pde_tpu.models.gnn import GNNModel
+        from graph_neural_pde_tpu.training.train import Trainer
+        ds = make_sbm_dataset(num_nodes=60, num_classes=3, num_features=8,
+                              seed=23)
+        cfg = Config(hidden_dim=8, method="rk4", step_size=0.5, time=1.0,
+                     adjoint=True, adjoint_method="rk4",
+                     kinetic_energy=0.05, directional_penalty=0.01,
+                     input_dropout=0.0, dropout=0.0, lr=0.05)
+        model = GNNModel(cfg, ds.num_features, ds.num_classes, ds.graph)
+        trainer = Trainer(model)
+        _, _, best, logs = trainer.fit(ds, epochs=5, verbose=False)
+        assert np.isfinite(logs[-1].loss)
