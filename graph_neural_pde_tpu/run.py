@@ -135,7 +135,11 @@ def main(cfg: Config, data_dir: str = "./data", verbose: bool = True,
 
         if (cfg.rewire_KNN and epoch % cfg.rewire_KNN_epoch == 0
                 and hasattr(model, "rewire")):
-            model.rewire(params, state, dataset.x, pos_encoding)
+            # online mode iterates the rewire/probe loop within the epoch
+            # (--KNN_online/--KNN_online_reps, run_GNN.py:405-406)
+            reps = cfg.KNN_online_reps if cfg.KNN_online else 1
+            for _ in range(reps):
+                model.rewire(params, state, dataset.x, pos_encoding)
 
         if cfg.edge_sampling and epoch % cfg.edge_sampling_epoch == 0:
             # BLEND densify-then-sparsify surgery between epochs
@@ -160,10 +164,13 @@ def main(cfg: Config, data_dir: str = "./data", verbose: bool = True,
             def jnp_mean_heads(att):
                 return _jnp.mean(att, axis=1)
 
-            model.graph = apply_edge_sampling(
-                model.graph, cfg, mean_att,
-                np.random.default_rng(cfg.seed + epoch),
-                capacity=model.graph.capacity)
+            reps = (cfg.edge_sampling_online_reps if cfg.edge_sampling_online
+                    else 1)
+            for rep in range(reps):
+                model.graph = apply_edge_sampling(
+                    model.graph, cfg, mean_att,
+                    np.random.default_rng(cfg.seed + epoch * 131 + rep),
+                    capacity=model.graph.capacity)
 
         key, k_step = jax.random.split(key)
         params, state, opt_state, loss, tstats = trainer._train_step(
