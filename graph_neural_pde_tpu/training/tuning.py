@@ -128,11 +128,26 @@ def _run_trial(cfg: Config, dataset: NodeDataset, epochs: int,
             ds.train_mask = jnp.asarray(tm)
             ds.val_mask = jnp.asarray(vm)
             ds.test_mask = jnp.asarray(sm)
-        model = GNNModel(cfg, ds.num_features, ds.num_classes, ds.graph)
+        if cfg.no_early:
+            model = GNNModel(cfg, ds.num_features, ds.num_classes, ds.graph)
+        else:
+            # in-integrator model selection inside trials (train_ray_int,
+            # ray_tune.py:149-200)
+            from graph_neural_pde_tpu.models.gnn_early import GNNEarlyModel
+            model = GNNEarlyModel(cfg, ds.num_features, ds.num_classes,
+                                  ds.graph)
         trainer = Trainer(model)
         params, state, best, _ = trainer.fit(ds, epochs=epochs,
                                              seed=seed + split,
                                              verbose=False)
+        if not cfg.no_early:
+            _, snap, _ = model.apply_early(
+                params, state, ds.x, ds.y,
+                (ds.train_mask, ds.val_mask, ds.test_mask))
+            if float(snap.val) > best["val_acc"]:
+                best = {"val_acc": float(snap.val),
+                        "test_acc": float(snap.test),
+                        "train_acc": float(snap.train)}
         vals.append(best["val_acc"])
         tests.append(best["test_acc"])
         trains.append(best["train_acc"])

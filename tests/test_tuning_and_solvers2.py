@@ -126,3 +126,18 @@ class TestStats:
     def test_aggregate(self):
         out = aggregate_runs([1.0, 2.0, 3.0])
         assert out["mean"] == 2.0 and out["n"] == 3
+
+    def test_trial_with_early_stop_selection(self, tmp_path):
+        """train_ray_int semantics: trials with no_early=False report the
+        in-integrator best-val snapshot."""
+        from graph_neural_pde_tpu.training.tuning import _run_trial
+        ds = make_sbm_dataset(num_nodes=60, num_classes=3, num_features=8,
+                              seed=25)
+        cfg = Config(dataset="Cora", hidden_dim=8, attention_dim=8, heads=2,
+                     method="rk4", step_size=0.5, time=1.0, no_early=False,
+                     max_test_steps=8, earlystopxT=2.0, input_dropout=0.0,
+                     dropout=0.0, lr=0.05, block="attention",
+                     function="laplacian", max_nfe=2000)
+        m = _run_trial(cfg, ds, epochs=5, num_splits=1, seed=0,
+                       checkpoint_dir=None, trial_idx=0)
+        assert 0.0 <= m["accuracy"] <= 1.0
