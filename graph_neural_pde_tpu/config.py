@@ -28,7 +28,10 @@ class Config:
     planetoid_split: bool = False
     geom_gcn_splits: bool = False
     num_splits: int = 1
-    not_lcc: bool = True               # True => keep full graph (ref default)
+    # Passed through as use_lcc verbatim (reference run_GNN.py:223 ->
+    # data.py:34): True => extract the largest connected component (the ref
+    # default, despite the name); ogbn-arxiv sets False (best_params.py:7).
+    not_lcc: bool = True
 
     # ---- GNN -----------------------------------------------------------
     hidden_dim: int = 16

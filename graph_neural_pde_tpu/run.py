@@ -43,7 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     for f in dataclasses.fields(Config):
         name = f"--{f.name}"
         if f.type == "bool" or isinstance(f.default, bool):
-            parser.add_argument(name, action="store_true", default=None)
+            # --flag / --no-flag pairs so booleans defaulting to True
+            # (not_lcc, no_early, fused_attention_agg, ...) can be disabled
+            parser.add_argument(name, action=argparse.BooleanOptionalAction,
+                                default=None)
         elif f.name in ("jacobian_norm2", "total_deriv", "kinetic_energy",
                         "directional_penalty"):
             parser.add_argument(name, type=float, default=None)
@@ -83,7 +86,10 @@ def main(cfg: Config, data_dir: str = "./data", verbose: bool = True,
     set_block(cfg)
     set_function(cfg)
 
-    dataset = get_dataset(cfg, data_dir, use_lcc=not cfg.not_lcc)
+    # The reference passes opt['not_lcc'] (default True) directly as use_lcc
+    # (run_GNN.py:223 -> data.py:34), so despite the name, LCC extraction is ON
+    # by default and OFF for ogbn-arxiv (not_lcc=False in best_params.py:7).
+    dataset = get_dataset(cfg, data_dir, use_lcc=cfg.not_lcc)
 
     pos_encoding = None
     if cfg.beltrami:

@@ -35,7 +35,9 @@ def run_one(name: str, data_dir: str, reps: int, epochs: int | None,
     cfg = best_params[name]
     if epochs:
         cfg = cfg.replace(epoch=epochs)
-    dataset = get_dataset(cfg, data_dir, use_lcc=not cfg.not_lcc)
+    # use_lcc = not_lcc verbatim: reference run_GNN.py:223 passes the flag
+    # through un-negated, so LCC extraction is ON by default.
+    dataset = get_dataset(cfg, data_dir, use_lcc=cfg.not_lcc)
     real_data = not dataset.name.endswith("-synthetic")
 
     pos_encoding = None
