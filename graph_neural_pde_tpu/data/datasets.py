@@ -324,6 +324,22 @@ def set_train_val_test_split(seed: int, y: np.ndarray, num_development=1500,
 # registry
 # ---------------------------------------------------------------------------
 
+def rewire(g, cfg: Config, data_dir: str):
+    """Load-time rewiring dispatch (/root/reference/src/data.py:23-31):
+    two_hop | gdc | pos_enc_knn, each returning a rebuilt Graph."""
+    rw = cfg.rewiring
+    if rw == "two_hop":
+        from graph_neural_pde_tpu.rewiring.gdc import two_hop
+        return two_hop(g, pad_multiple=cfg.edge_pad_multiple)
+    if rw == "gdc":
+        from graph_neural_pde_tpu.rewiring.gdc import apply_gdc
+        return apply_gdc(g, cfg, pad_multiple=cfg.edge_pad_multiple)
+    if rw == "pos_enc_knn":
+        from graph_neural_pde_tpu.rewiring.knn import apply_pos_dist_rewire
+        return apply_pos_dist_rewire(g, cfg, data_dir)
+    raise ValueError(f"unknown rewiring '{rw}'")
+
+
 def get_dataset(cfg: Config, data_dir: str, use_lcc: bool = False, *,
                 split_seed: Optional[int] = None,
                 synthetic_fallback: bool = True,
@@ -360,6 +376,8 @@ def get_dataset(cfg: Config, data_dir: str, use_lcc: bool = False, *,
                              num_features=min(f, 512),
                              edge_pad_multiple=pad, seed=cfg.seed)
         d.name = f"{ds}-synthetic"
+        if cfg.rewiring is not None:
+            d.graph = rewire(d.graph, cfg, data_dir)
         return d
 
     if use_lcc:
@@ -375,6 +393,9 @@ def get_dataset(cfg: Config, data_dir: str, use_lcc: bool = False, *,
             num_development=ndev)
 
     g = make_graph(ei[0], ei[1], num_nodes=x.shape[0], pad_multiple=pad)
+    if cfg.rewiring is not None:
+        # after LCC, before training — data.py:75-76
+        g = rewire(g, cfg, data_dir)
     import jax.numpy as jnp
     return NodeDataset(
         graph=g, x=jnp.asarray(x), y=jnp.asarray(y, jnp.int32),

@@ -82,6 +82,76 @@ def apply_dist_threshold(dist: np.ndarray, quantile: float = 0.001
     return np.stack([r.astype(np.int64), c.astype(np.int64)])
 
 
+def apply_pos_dist_rewire(g, cfg, data_dir=None):
+    """Rebuild the edge set from positional-encoding distances
+    (/root/reference/src/graph_rewiring.py:285-342).
+
+    * HYP* encodings: Poincaré distances of the Beltrami PEs (cached as
+      ``{data_dir}/pos_encodings/{ds}_{type}_dists.pkl``/``.npz``), then
+      kNN (gdc_sparsification='topk', k=gdc_k) or quantile threshold
+      ('threshold', cfg.pos_dist_quantile).
+    * DW* encodings: feature-space kNN on the PEs, or euclidean-distance
+      quantile threshold (the reference leaves the quantile at the 1/1000
+      default on this branch, distances_kNN.py:31).
+
+    Returns a new Graph at the same node count. The reference's cached-HYP
+    branch never sparsifies (an indentation slip leaves ``ei`` unset,
+    graph_rewiring.py:294-331); here the sparsification always runs.
+    """
+    import os
+    import pickle
+
+    from graph_neural_pde_tpu.ops.graph import make_graph
+    from graph_neural_pde_tpu.rewiring.positional import apply_beltrami
+
+    if cfg.pos_enc_type.startswith("HYP"):
+        pos_dist = None
+        cache = None
+        if data_dir:
+            base = os.path.join(data_dir, "pos_encodings",
+                                f"{cfg.dataset}_{cfg.pos_enc_type}_dists")
+            cache = base + ".npz"
+            if os.path.exists(base + ".pkl"):
+                with open(base + ".pkl", "rb") as f:
+                    pos_dist = np.asarray(pickle.load(f), np.float32)
+            elif os.path.exists(cache):
+                pos_dist = np.load(cache)["dist"].astype(np.float32)
+        if pos_dist is None:
+            # the reference requires HYP pickles on disk (apply_beltrami
+            # quits otherwise, graph_rewiring.py:263-268); when absent here,
+            # hyperbolise freshly trained DeepWalk embeddings instead so the
+            # pipeline stays runnable without downloads
+            try:
+                pe = apply_beltrami(g, cfg, data_dir)
+            except ValueError:
+                import sys
+                print(f"[rewire] no {cfg.pos_enc_type} encodings on disk; "
+                      f"hyperbolising DeepWalk embeddings as a stand-in",
+                      file=sys.stderr)
+                pe = apply_beltrami(g, cfg.replace(pos_enc_type="DW64"),
+                                    data_dir)
+            pos_dist = hyperbolize(pe)
+            if cache:
+                os.makedirs(os.path.dirname(cache), exist_ok=True)
+                np.savez(cache, dist=pos_dist)
+        if cfg.gdc_sparsification == "topk":
+            ei = apply_dist_knn(pos_dist, cfg.gdc_k)
+        else:
+            ei = apply_dist_threshold(pos_dist, cfg.pos_dist_quantile)
+    elif cfg.pos_enc_type.startswith("DW"):
+        pe = apply_beltrami(g, cfg, data_dir)
+        if cfg.gdc_sparsification == "topk":
+            ei = knn_graph(pe, cfg.gdc_k)
+        else:
+            ei = apply_dist_threshold(pairwise_distances(pe))
+    else:
+        raise ValueError(
+            f"pos_enc_knn rewiring needs a DW*/HYP* pos_enc_type, got "
+            f"{cfg.pos_enc_type}")
+    return make_graph(ei[0], ei[1], None, num_nodes=g.num_nodes,
+                      pad_multiple=cfg.edge_pad_multiple)
+
+
 def hyperbolize(emb: np.ndarray) -> np.ndarray:
     """Poincaré-ball distance matrix from embeddings
     (hyperbolic_distances.py:7-14): d = arccosh(1 + 2|u−v|² / ((1−|u|²)(1−|v|²)))."""

@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
             parser.add_argument(name, type=float, default=None)
         elif isinstance(f.default, str):
             parser.add_argument(name, type=str, default=None)
+        elif f.default is None and "str" in str(f.type):
+            # Optional[str] fields (e.g. rewiring)
+            parser.add_argument(name, type=str, default=None)
     return parser
 
 

@@ -213,3 +213,71 @@ class TestDistanceEdgeSampling:
         pairs = set(zip(r.tolist(), c.tolist()))
         assert (9, 0) not in pairs and (0, 9) not in pairs
         assert int(g2.num_edges) < int(g.num_edges)
+
+
+class TestLoadTimeRewiring:
+    """Config.rewiring consumed at load time (data.py:23-31, 75-76)."""
+
+    def test_pos_dist_rewire_hyp_cached_oracle(self, tmp_path):
+        """HYP + cached distances + topk == apply_dist_knn of that matrix."""
+        from graph_neural_pde_tpu.rewiring.knn import apply_pos_dist_rewire
+        n, k = 8, 3
+        rng = np.random.default_rng(1)
+        dist = rng.random((n, n)).astype(np.float32)
+        dist = dist + dist.T
+        np.fill_diagonal(dist, 0.0)
+        d = tmp_path / "pos_encodings"
+        d.mkdir()
+        np.savez(d / "toy_HYP16_dists.npz", dist=dist)
+        cfg = Config(dataset="toy", pos_enc_type="HYP16",
+                     gdc_sparsification="topk", gdc_k=k, edge_pad_multiple=1)
+        g2 = apply_pos_dist_rewire(ring_graph(n), cfg, str(tmp_path))
+        r = np.asarray(g2.row)[np.asarray(g2.mask)]
+        c = np.asarray(g2.col)[np.asarray(g2.mask)]
+        want = apply_dist_knn(dist, k)
+        got = set(zip(r.tolist(), c.tolist()))
+        assert got == set(zip(want[0].tolist(), want[1].tolist()))
+        # every node keeps exactly k outgoing edges
+        assert all(np.sum(r == i) == k for i in range(n))
+
+    def test_pos_dist_rewire_dw_knn_oracle(self, tmp_path):
+        """DW pickle on disk + topk == brute-force kNN of the embeddings."""
+        import pickle
+        from graph_neural_pde_tpu.rewiring.knn import apply_pos_dist_rewire
+        n, k = 10, 4
+        emb = np.random.default_rng(2).normal(size=(n, 16)).astype(np.float32)
+        d = tmp_path / "pos_encodings"
+        d.mkdir()
+        with open(d / "toy_DW16.pkl", "wb") as f:
+            pickle.dump({"data": emb, "acc": 1.0}, f)
+        cfg = Config(dataset="toy", pos_enc_type="DW16",
+                     gdc_sparsification="topk", gdc_k=k, edge_pad_multiple=1)
+        g2 = apply_pos_dist_rewire(ring_graph(n), cfg, str(tmp_path))
+        r = np.asarray(g2.row)[np.asarray(g2.mask)]
+        c = np.asarray(g2.col)[np.asarray(g2.mask)]
+        d2 = ((emb[:, None, :] - emb[None, :, :]) ** 2).sum(-1)
+        want = set()
+        for i in range(n):
+            for j in np.argsort(d2[i])[:k]:
+                want.add((i, int(j)))
+        assert set(zip(r.tolist(), c.tolist())) == want
+
+    def test_get_dataset_dispatch(self, tmp_path, monkeypatch):
+        """--rewiring two_hop/gdc runs through get_dataset (synthetic path)."""
+        from graph_neural_pde_tpu.data.datasets import get_dataset
+        cfg = Config(dataset="Cora", rewiring="two_hop", edge_pad_multiple=4)
+        ds = get_dataset(cfg, str(tmp_path))
+        ds0 = get_dataset(cfg.replace(rewiring=None), str(tmp_path))
+        assert int(ds.graph.num_edges) > int(ds0.graph.num_edges)
+
+        cfg_gdc = Config(dataset="Cora", rewiring="gdc", gdc_method="ppr",
+                         exact=False, gdc_sparsification="topk", gdc_k=8,
+                         self_loop_weight=1.0, edge_pad_multiple=4)
+        ds_gdc = get_dataset(cfg_gdc, str(tmp_path))
+        c = np.asarray(ds_gdc.graph.col)[np.asarray(ds_gdc.graph.mask)]
+        # GDC topk keeps (up to) k nonzero entries per column
+        n = ds_gdc.graph.num_nodes
+        assert n * 8 * 0.98 <= int(ds_gdc.graph.num_edges) <= n * 8
+        assert np.bincount(c, minlength=n).max() <= 8
+        w = np.asarray(ds_gdc.graph.weight)[np.asarray(ds_gdc.graph.mask)]
+        assert (w > 0).all()
