@@ -70,6 +70,42 @@ def add_importance_edges(g: Graph, mean_attention: np.ndarray, frac: float,
     return _rebuild(g, rows[idx], cols[idx], capacity)
 
 
+def add_khop_edges(g: Graph, weights: np.ndarray, k: int = 2,
+                   rm_self_loops: bool = True,
+                   capacity: Optional[int] = None) -> Graph:
+    """Attention-weighted k-hop densification
+    (add_khop_edges, /root/reference/src/block_transformer_rewiring.py:68-119).
+
+    Each round forms A² of the current weighted adjacency (weight products
+    summed over 2-paths — the torch_sparse.spspmm), strips its self loops,
+    and mixes: A ← coalesce(A ∥ A²) with all weights halved. Host scipy
+    sparse product (preprocessing, never on the hot path); the result is
+    padded back to a fixed capacity with the mixed weights carried on the
+    Graph.
+    """
+    import scipy.sparse as sp
+
+    m = np.asarray(g.mask)
+    r, c = np.asarray(g.row)[m], np.asarray(g.col)[m]
+    w = np.asarray(weights)
+    if w.shape[0] == g.capacity:
+        w = w[m]
+    n = g.num_nodes
+    a = sp.coo_matrix((w.astype(np.float64), (r, c)), shape=(n, n)).tocsr()
+    for _ in range(k - 1):
+        a2 = (a @ a).tocoo()
+        if rm_self_loops:
+            keep = a2.row != a2.col
+            a2 = sp.coo_matrix((a2.data[keep], (a2.row[keep], a2.col[keep])),
+                               shape=(n, n))
+        # coalesce(cat(A, A²)) with every weight / 2
+        a = ((a + a2.tocsr()) * 0.5).tocsr()
+    a = a.tocoo()
+    cap = capacity if capacity is not None else max(g.capacity, a.nnz)
+    return make_graph(a.row.astype(np.int32), a.col.astype(np.int32),
+                      a.data.astype(np.float32), num_nodes=n, capacity=cap)
+
+
 def threshold_edges_by_attention(g: Graph, mean_attention: np.ndarray,
                                  rmv_frac: float,
                                  capacity: Optional[int] = None) -> Graph:
@@ -131,6 +167,12 @@ def apply_edge_sampling(g: Graph, cfg: Config, mean_attention_fn: Callable,
     elif cfg.edge_sampling_add_type == "importance":
         att0 = np.asarray(mean_attention_fn(g))
         g2 = add_importance_edges(g, att0, cfg.edge_sampling_add, rng, cap)
+    elif cfg.edge_sampling_add_type in ("k_hop", "k_hop_att"):
+        # densify_edges 'k_hop_att' (block_transformer_rewiring.py:144-152):
+        # 2-hop with attention-weight products
+        att0 = np.asarray(mean_attention_fn(g))
+        g2 = add_khop_edges(g, att0, k=2)
+        cap = max(cap, g2.capacity)
     else:
         g2 = g
     if cfg.edge_sampling_space != "attention" and embeddings is not None:

@@ -281,3 +281,45 @@ class TestLoadTimeRewiring:
         assert np.bincount(c, minlength=n).max() <= 8
         w = np.asarray(ds_gdc.graph.weight)[np.asarray(ds_gdc.graph.mask)]
         assert (w > 0).all()
+
+
+class TestKhopDensify:
+    def test_khop_matches_dense_oracle(self):
+        """(A + A² w/o self loops)/2, weights included
+        (block_transformer_rewiring.py:68-119)."""
+        from graph_neural_pde_tpu.rewiring.edges import add_khop_edges
+        n = 7
+        rng = np.random.default_rng(3)
+        g = ring_graph(n)
+        w = rng.random(g.capacity).astype(np.float32)
+        w = np.where(np.asarray(g.mask), w, 0.0)
+        g2 = add_khop_edges(g, w, k=2)
+        a = np.zeros((n, n))
+        r, c = np.asarray(g.row)[np.asarray(g.mask)], \
+            np.asarray(g.col)[np.asarray(g.mask)]
+        a[r, c] = w[np.asarray(g.mask)]
+        a2 = a @ a
+        np.fill_diagonal(a2, 0.0)
+        want = (a + a2) / 2.0
+        got = np.asarray(dense_adjacency(g2))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    def test_epoch_hook_k_hop_att(self):
+        """apply_edge_sampling dispatches k_hop_att densification."""
+        from graph_neural_pde_tpu.rewiring.edges import apply_edge_sampling
+        g = ring_graph(8)
+        cfg = Config(edge_sampling_add_type="k_hop_att",
+                     edge_sampling_add=0.5, edge_sampling_rmv=0.25)
+
+        def mean_att(graph):
+            # varied per-slot attention so the quantile threshold has no ties
+            m = np.asarray(graph.mask)
+            r = np.asarray(graph.row)
+            c = np.asarray(graph.col)
+            return np.where(m, 0.1 + ((r * 31 + c * 17) % 13) / 13.0, 0.0)
+
+        g2 = apply_edge_sampling(g, cfg, mean_att,
+                                 np.random.default_rng(0))
+        # densified beyond the ring, then thresholded below the 2-hop peak
+        e0 = int(np.asarray(g.mask).sum())
+        assert int(np.asarray(g2.mask).sum()) > e0
