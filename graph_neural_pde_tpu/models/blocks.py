@@ -234,6 +234,12 @@ def block_forward(bparams, cfg: Config, g: Graph, x, training: bool,
         assert cfg.function == "laplacian" and not use_reg, (
             "method='cheby' requires function='laplacian' without "
             "regularisers (the RHS must be linear)")
+        # the Chebyshev interval assumes spec(alpha*(A-I)) within [-2, 0],
+        # i.e. alpha in [0, 1]; an unbounded learned alpha silently breaks it
+        assert not cfg.no_alpha_sigmoid, (
+            "method='cheby' requires sigmoid-bounded alpha "
+            "(no_alpha_sigmoid=False): the expansion interval assumes "
+            "alpha <= 1")
         from graph_neural_pde_tpu.ops.spmm import spmm
         from graph_neural_pde_tpu.solvers.chebyshev import linear_diffusion_solve
 

@@ -125,12 +125,43 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
     s = prods - gmax
     if cfg.square_plus:
         u = (s + jnp.sqrt(s * s + 4.0)) / 2.0
+        u = jnp.where(g.mask[:, None], u, 0.0)               # [E, H]
+        ax = _fused_normalized_aggregate(cfg, g, u, gathered, x, stripe_plan)
     else:
-        u = jnp.exp(s)
-    u = jnp.where(g.mask[:, None], u, 0.0)                   # [E, H]
-    ax = _fused_normalized_aggregate(cfg, g, u, gathered, x, stripe_plan)
+        u = jnp.where(g.mask[:, None], jnp.exp(s), 0.0)
+        ax = _softmax_aggregate_guarded(cfg, g, prods, u, gathered, x,
+                                        stripe_plan)
     f = _alpha(cfg, fparams) * (ax - x)
     return _source(cfg, fparams, f, aux)
+
+
+def _softmax_aggregate_guarded(cfg: Config, g: Graph, prods, u, gathered_x,
+                               x, stripe_plan=None):
+    """Softmax aggregation with an exact per-segment fallback.
+
+    The fused path substitutes ONE global max for the per-segment softmax
+    maxes — identical result unless a whole segment's exp underflows in f32
+    (all its scores ≥ ~88 below the global max), where 0/(0+eps) would
+    silently zero that node instead of averaging. Detect any exact-zero
+    exp on a valid edge (only possible via underflow) and lax.cond into the
+    exact per-segment softmax — the expensive branch only executes when the
+    underflow actually occurred.
+    """
+    from graph_neural_pde_tpu.ops.scatter import segment_softmax
+
+    underflowed = jnp.any((u == 0.0) & g.mask[:, None])
+
+    def exact(_):
+        att = segment_softmax(prods, g.row, g.num_nodes, mask=g.mask)
+        att = jnp.where(g.mask[:, None], att, 0.0)
+        return _fused_normalized_aggregate(cfg, g, att, gathered_x, x,
+                                           stripe_plan)
+
+    def fused(_):
+        return _fused_normalized_aggregate(cfg, g, u, gathered_x, x,
+                                           stripe_plan)
+
+    return jax.lax.cond(underflowed, exact, fused, None)
 
 
 def _fused_normalized_aggregate(cfg: Config, g: Graph, u, gathered_x, x,
@@ -187,7 +218,8 @@ def _gat_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config, g: Graph,
     gmax = jnp.max(jnp.where(g.mask[:, None], scores, -jnp.inf))
     gmax = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
     u = jnp.where(g.mask[:, None], jnp.exp(scores - gmax), 0.0)
-    ax = _fused_normalized_aggregate(cfg, g, u, gathered, x, stripe_plan)
+    ax = _softmax_aggregate_guarded(cfg, g, scores, u, gathered, x,
+                                    stripe_plan)
     f = _alpha(cfg, fparams) * (ax - x)
     return _source(cfg, fparams, f, aux)
 

@@ -16,6 +16,12 @@ import jax
 import numpy as np
 
 
+def _normalize(path: str) -> str:
+    # np.savez appends '.npz' when missing; mirror that in both directions so
+    # save_checkpoint('ckpt') and load_checkpoint('ckpt') agree
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def _flatten(tree) -> Tuple[dict, Any]:
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
@@ -23,6 +29,7 @@ def _flatten(tree) -> Tuple[dict, Any]:
 
 
 def save_checkpoint(path: str, tree, metadata: dict | None = None) -> None:
+    path = _normalize(path)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     arrays, treedef = _flatten(tree)
     arrays["__treedef__"] = np.frombuffer(
@@ -34,9 +41,20 @@ def save_checkpoint(path: str, tree, metadata: dict | None = None) -> None:
 
 
 def load_checkpoint(path: str, example_tree):
-    """Restore a pytree with the structure of ``example_tree``."""
+    """Restore a pytree with the structure of ``example_tree``.
+
+    The stored treedef string must match ``example_tree``'s — restoring into
+    a structurally different tree would silently mis-assign leaves whenever
+    the shapes happen to line up.
+    """
+    path = _normalize(path)
     with np.load(path, allow_pickle=False) as f:
         leaves_ex, treedef = jax.tree_util.tree_flatten(example_tree)
+        stored_def = bytes(f["__treedef__"]).decode()
+        if stored_def != str(treedef):
+            raise ValueError(
+                f"checkpoint treedef mismatch:\n  stored: {stored_def[:200]}"
+                f"\n  expected: {str(treedef)[:200]}")
         leaves = [f[f"leaf_{i}"] for i in range(len(leaves_ex))]
         meta = None
         if "__meta__" in f:

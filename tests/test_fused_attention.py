@@ -187,3 +187,36 @@ class TestStripeEngine:
             np.asarray(g1["block"]["func"]["att"]["Q"]["w"]),
             np.asarray(g0["block"]["func"]["att"]["Q"]["w"]),
             rtol=5e-2, atol=5e-3)
+
+
+class TestUnderflowGuard:
+    def test_widely_spread_scores_match_exact(self):
+        """Scores spread >88 apart in f32: the global-max substitution alone
+        would zero whole segments; the guard must recover the exact
+        per-segment softmax (ADVICE round 1)."""
+        cfg, g, x, params, aux = setup("scaled_dot", False, seed=7)
+        # blow up Q so some segments sit ~hundreds below the global max
+        params["att"]["Q"]["w"] = params["att"]["Q"]["w"] * 400.0
+        rhs_fused = make_rhs(cfg.replace(fused_attention_agg=True), g)
+        rhs_exact = make_rhs(cfg.replace(fused_attention_agg=False), g)
+        f1 = np.asarray(jax.jit(rhs_fused)(params, aux, 0.0, x))
+        f2 = np.asarray(rhs_exact(params, aux, 0.0, x))
+        assert np.isfinite(f1).all()
+        np.testing.assert_allclose(f1, f2, rtol=2e-3, atol=2e-4)
+
+    def test_guard_scores_actually_underflow(self):
+        """Sanity: the fixture really triggers the underflow branch."""
+        import jax.numpy as jnp
+        from graph_neural_pde_tpu.models.attention import _scores
+        from graph_neural_pde_tpu.models.layers import linear_apply
+        cfg, g, x, params, aux = setup("scaled_dot", False, seed=7)
+        params["att"]["Q"]["w"] = params["att"]["Q"]["w"] * 400.0
+        q = linear_apply(params["att"]["Q"], x)
+        k = linear_apply(params["att"]["K"], x)
+        h, dk = cfg.heads, cfg.attention_dim // cfg.heads
+        src = q[g.row].reshape(-1, h, dk)
+        dst = k[g.col].reshape(-1, h, dk)
+        prods = np.asarray(_scores(cfg, src, dst, dk, params["att"]))
+        m = np.asarray(g.mask)
+        spread = prods[m].max() - prods[m].min()
+        assert spread > 200.0, spread

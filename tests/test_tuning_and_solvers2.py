@@ -141,3 +141,30 @@ class TestStats:
         m = _run_trial(cfg, ds, epochs=5, num_splits=1, seed=0,
                        checkpoint_dir=None, trial_idx=0)
         assert 0.0 <= m["accuracy"] <= 1.0
+
+
+class TestCheckpointRoundtrip:
+    def test_path_without_extension(self, tmp_path):
+        """save('ckpt') / load('ckpt') agree despite np.savez appending .npz
+        (ADVICE round 1)."""
+        import jax.numpy as jnp
+        from graph_neural_pde_tpu.utils.checkpoint import (load_checkpoint,
+                                                           save_checkpoint)
+        tree = {"a": jnp.arange(3.0), "b": {"c": jnp.ones((2, 2))}}
+        p = str(tmp_path / "ckpt")
+        save_checkpoint(p, tree, metadata={"epoch": 3})
+        got, meta = load_checkpoint(p, tree)
+        assert meta == {"epoch": 3}
+        np.testing.assert_allclose(np.asarray(got["b"]["c"]), 1.0)
+
+    def test_treedef_mismatch_raises(self, tmp_path):
+        import jax.numpy as jnp
+        import pytest
+        from graph_neural_pde_tpu.utils.checkpoint import (load_checkpoint,
+                                                           save_checkpoint)
+        tree = {"a": jnp.arange(3.0), "b": jnp.arange(3.0)}
+        p = str(tmp_path / "ck.npz")
+        save_checkpoint(p, tree)
+        other = {"x": jnp.zeros(3), "y": jnp.zeros(3)}   # same leaf shapes
+        with pytest.raises(ValueError, match="treedef mismatch"):
+            load_checkpoint(p, other)
