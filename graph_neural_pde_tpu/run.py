@@ -82,7 +82,8 @@ def select_model(cfg: Config, num_features, num_classes, graph, pos_enc_dim=0):
 
 
 def main(cfg: Config, data_dir: str = "./data", verbose: bool = True,
-         checkpoint_path: Optional[str] = None):
+         checkpoint_path: Optional[str] = None,
+         split_idx: Optional[int] = None):
     # fail fast on invalid block/function names (model_configurations.py
     # semantics) instead of erroring mid-forward
     from graph_neural_pde_tpu.models.registry import set_block, set_function
@@ -111,7 +112,9 @@ def main(cfg: Config, data_dir: str = "./data", verbose: bool = True,
         import os
         tm, vm, sm = load_geom_gcn_split(
             os.path.join(data_dir, "splits"), cfg.dataset,
-            split_idx=cfg.seed % 10, n=int(dataset.y.shape[0]))
+            split_idx=(split_idx if split_idx is not None
+                       else cfg.seed) % 10,
+            n=int(dataset.y.shape[0]))
         dataset.train_mask = jnp.asarray(tm)
         dataset.val_mask = jnp.asarray(vm)
         dataset.test_mask = jnp.asarray(sm)
@@ -227,7 +230,40 @@ def main(cfg: Config, data_dir: str = "./data", verbose: bool = True,
     return best["train_acc"], best["val_acc"], best["test_acc"]
 
 
+def run_splits(cfg: Config, data_dir: str = "./data", verbose: bool = True,
+               checkpoint_path: Optional[str] = None):
+    """Run cfg.num_splits independent repetitions and aggregate.
+
+    geom-gcn datasets iterate over the 10 fixed splits
+    (heterophilic.py:295-319); citation datasets draw a fresh random
+    development split per rep (train_ray_rand semantics, ray_tune.py:40-93).
+    Reports mean/sem/95%-CI like run_best_ray.py:71-74.
+    """
+    if cfg.num_splits <= 1:
+        return main(cfg, data_dir, verbose, checkpoint_path)
+    from graph_neural_pde_tpu.utils.stats import mean_confidence_interval
+    results = []
+    for rep in range(cfg.num_splits):
+        res = main(cfg.replace(seed=cfg.seed + rep), data_dir, verbose,
+                   checkpoint_path=(f"{checkpoint_path}_rep{rep}"
+                                    if checkpoint_path else None),
+                   split_idx=rep)
+        results.append(res)
+        if verbose:
+            print(f"[split {rep + 1}/{cfg.num_splits}] "
+                  f"test acc {res[2]:.4f}")
+    accs = [r[2] for r in results]
+    mean = float(np.mean(accs))
+    ci = mean_confidence_interval(accs)
+    if verbose:
+        print(f"over {cfg.num_splits} splits: test acc {mean:.4f} "
+              f"± {ci:.4f} (95% CI)")
+    tr = float(np.mean([r[0] for r in results]))
+    va = float(np.mean([r[1] for r in results]))
+    return tr, va, mean
+
+
 if __name__ == "__main__":
     parsed = build_parser().parse_args()
-    main(config_from_args(parsed), data_dir=parsed.data_dir,
-         checkpoint_path=parsed.checkpoint_path)
+    run_splits(config_from_args(parsed), data_dir=parsed.data_dir,
+               checkpoint_path=parsed.checkpoint_path)
