@@ -187,19 +187,37 @@ class Trainer:
 
     # -- public ----------------------------------------------------------
     def fit(self, data, *, epochs: Optional[int] = None, seed: int = 0,
-            log_every: int = 1, verbose: bool = True):
-        """data: object with x, y, pos (optional), train/val/test masks (jnp)."""
+            log_every: int = 1, verbose: bool = True, carry: dict = None,
+            return_carry: bool = False):
+        """data: object with x, y, pos (optional), train/val/test masks (jnp).
+
+        ``carry`` (from a previous fit with return_carry=True) resumes
+        training from its params/opt-state/rng at its next epoch — a resumed
+        10→30-epoch run takes the exact same steps as a fresh 30-epoch run
+        (ASHA rung resume, the reference restores torch checkpoints at
+        ray_tune.py:128-134). With return_carry=True the result tuple gains a
+        carry dict as 5th element.
+        """
         cfg = self.cfg
         epochs = epochs if epochs is not None else cfg.epoch
-        key = jax.random.PRNGKey(seed)
-        k_init, key = jax.random.split(key)
-        params, state = self.model.init(k_init)
-        opt_state = self.optimizer.init(params)
         pos = getattr(data, "pos_encoding", None)
+        if carry is not None:
+            params, state, opt_state = (carry["params"], carry["state"],
+                                        carry["opt_state"])
+            key = carry["key"]
+            start_epoch = carry["epoch"]
+            best = dict(carry["best"])
+        else:
+            key = jax.random.PRNGKey(seed)
+            k_init, key = jax.random.split(key)
+            params, state = self.model.init(k_init)
+            opt_state = self.optimizer.init(params)
+            start_epoch = 1
+            best = {"val_acc": 0.0, "test_acc": 0.0, "train_acc": 0.0,
+                    "epoch": 0}
 
-        best = {"val_acc": 0.0, "test_acc": 0.0, "train_acc": 0.0, "epoch": 0}
         logs = []
-        for epoch in range(1, epochs):
+        for epoch in range(start_epoch, epochs):
             t0 = time.time()
             key, k_step = jax.random.split(key)
             params, state, opt_state, loss, tstats = self._train_step(
@@ -221,4 +239,9 @@ class Trainer:
                       f"Loss {log.loss:.4f}, forward nfe {log.fwd_nfe}, "
                       f"backward nfe {log.bwd_nfe}, "
                       f"Train: {tr:.4f}, Val: {va:.4f}, Test: {te:.4f}")
+        if return_carry:
+            new_carry = {"params": params, "state": state,
+                         "opt_state": opt_state, "key": key, "epoch": epochs,
+                         "best": best}
+            return params, state, best, logs, new_carry
         return params, state, best, logs

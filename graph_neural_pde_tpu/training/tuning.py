@@ -49,35 +49,216 @@ def choice(options):
     return lambda rng: options[int(rng.integers(len(options)))]
 
 
-def set_search_space(dataset: str) -> Dict[str, Callable]:
-    """Per-dataset sampler dict (semantics of ray_tune.py:203-544)."""
-    common = {
-        "decay": loguniform(1e-3, 1e-2),
-        "lr": loguniform(1e-3, 0.1),
-        "input_dropout": uniform(0.2, 0.8),
-        "dropout": uniform(0.0, 0.8),
-        "self_loop_weight": choice([0.0, 1.0]),
-        "time": uniform(2.0, 30.0),
-        "tol_scale": loguniform(1.0, 1e4),
-        "optimizer": choice(["adam", "adamax", "rmsprop"]),
-        "hidden_dim": choice([16, 32, 64, 80, 128]),
-        "block": choice(["constant", "attention"]),
-        "attention_type": choice(["scaled_dot", "cosine_sim", "exp_kernel"]),
-        "heads": choice([1, 2, 4, 8]),
-        "attention_norm_idx": choice([0, 1]),
-        "square_plus": choice([True, False]),
-        "add_source": choice([True, False]),
-        "method": choice(["dopri5", "rk4"]),
-    }
-    if dataset in ("Computers", "Photo", "ogbn-arxiv"):
-        common.update({
-            "block": choice(["hard_attention"]),
-            "att_samp_pct": uniform(0.5, 1.0),
-            "adjoint": choice([True]),
-            "adjoint_method": choice(["rk4", "adaptive_heun", "dopri5"]),
-            "max_nfe": choice([500]),
-        })
-    return common
+def const(v):
+    return lambda rng: v
+
+
+def pow2(lo, hi):
+    """2**randint(lo, hi) — the reference's tune.sample_from lambdas."""
+    return lambda rng: int(2 ** rng.integers(lo, hi))
+
+
+def _uses_attention(base: Config) -> bool:
+    # the reference's branch condition (e.g. ray_tune.py:218)
+    return (base.block in ("attention", "mixed")
+            or base.function in ("GAT", "transformer"))
+
+
+def _self_loop_mixed(base: Config):
+    return (choice([0.0, 0.5, 1.0, 2.0]) if base.block == "mixed"
+            else choice([0.0, 1.0]))
+
+
+def set_search_space(base: Config, regularise: bool = False
+                     ) -> Dict[str, Callable]:
+    """Per-dataset sampler dicts, translated 1:1 from the reference's
+    set_{cora,pubmed,citeseer,computers,coauthors,photo,arxiv}_search_space
+    (/root/reference/src/ray_tune.py:203-544) including the attention /
+    adjoint / gdc-rewiring conditional branches. Conditionals consult the
+    *base* config, exactly as the reference consults the pre-sampled opt."""
+    if isinstance(base, str):          # convenience: dataset name only
+        base = Config(dataset=base)
+    ds = base.dataset
+    att = _uses_attention(base)
+    s: Dict[str, Callable] = {}
+
+    if ds == "Cora":
+        s["decay"] = loguniform(1e-3, 0.1)
+        if regularise:
+            s["kinetic_energy"] = loguniform(1e-3, 10.0)
+            s["directional_penalty"] = loguniform(1e-3, 10.0)
+        s["hidden_dim"] = pow2(6, 8)
+        s["lr"] = uniform(0.01, 0.2)
+        s["input_dropout"] = const(0.5)
+        s["optimizer"] = choice(["adam", "adamax"])
+        s["dropout"] = uniform(0.0, 0.15)
+        s["time"] = uniform(2.0, 30.0)
+        if att:
+            s["heads"] = pow2(0, 4)
+            s["attention_dim"] = pow2(4, 8)
+            s["attention_norm_idx"] = const(0)
+            s["leaky_relu_slope"] = const(0.2)
+            s["self_loop_weight"] = choice([0.0, 1.0])
+        else:
+            s["self_loop_weight"] = uniform(0.0, 3.0)
+        s["tol_scale"] = loguniform(1.0, 1000.0)
+        if base.adjoint:
+            s["adjoint_method"] = choice(["dopri5", "adaptive_heun"])
+            s["tol_scale_adjoint"] = loguniform(100.0, 10000.0)
+        s["add_source"] = choice([True, False])
+        s["att_samp_pct"] = uniform(0.3, 1.0)
+        s["batch_norm"] = choice([True, False])
+        if base.rewiring == "gdc":
+            s["gdc_k"] = pow2(4, 10)
+            s["ppr_alpha"] = uniform(0.01, 0.2)
+    elif ds == "Pubmed":
+        if not base.adjoint:
+            raise ValueError(
+                "Can't train on PubMed without the adjoint method.")
+        s["decay"] = uniform(1e-3, 0.1)
+        if regularise:
+            s["kinetic_energy"] = loguniform(0.01, 1.0)
+            s["directional_penalty"] = loguniform(0.01, 1.0)
+        s["hidden_dim"] = const(128)
+        s["lr"] = loguniform(0.02, 0.1)
+        s["input_dropout"] = const(0.4)
+        s["dropout"] = uniform(0.0, 0.5)
+        s["time"] = uniform(5.0, 20.0)
+        s["optimizer"] = choice(["rmsprop", "adam", "adamax"])
+        if att:
+            s["heads"] = pow2(0, 4)
+            s["attention_dim"] = pow2(4, 8)
+            s["attention_norm_idx"] = choice([0, 1])
+            s["leaky_relu_slope"] = uniform(0.0, 0.8)
+            s["self_loop_weight"] = _self_loop_mixed(base)
+        else:
+            s["self_loop_weight"] = uniform(0.0, 3.0)
+        s["tol_scale"] = loguniform(1.0, 1e4)
+        s["tol_scale_adjoint"] = loguniform(1.0, 1e4)
+        s["adjoint_method"] = choice(["dopri5", "adaptive_heun"])
+    elif ds == "Citeseer":
+        s["decay"] = const(0.1)
+        if regularise:
+            s["kinetic_energy"] = loguniform(1e-3, 10.0)
+            s["directional_penalty"] = loguniform(1e-3, 10.0)
+        s["hidden_dim"] = const(128)
+        s["lr"] = loguniform(2e-3, 0.01)
+        s["input_dropout"] = uniform(0.4, 0.8)
+        s["dropout"] = uniform(0.0, 0.8)
+        s["time"] = uniform(0.5, 8.0)
+        s["optimizer"] = choice(["rmsprop", "adam", "adamax"])
+        if att:
+            s["heads"] = pow2(1, 4)
+            s["attention_dim"] = pow2(3, 8)
+            s["attention_norm_idx"] = const(1)
+            s["leaky_relu_slope"] = uniform(0.0, 0.7)
+            s["self_loop_weight"] = _self_loop_mixed(base)
+        else:
+            s["self_loop_weight"] = uniform(0.0, 3.0)
+        s["tol_scale"] = loguniform(1.0, 2e3)
+        if base.adjoint:
+            s["tol_scale_adjoint"] = loguniform(1.0, 1e5)
+            s["adjoint_method"] = choice(["dopri5", "adaptive_heun"])
+        if base.rewiring == "gdc":
+            s["gdc_sparsification"] = const("topk")
+            s["gdc_method"] = choice(["ppr", "heat"])
+            s["gdc_k"] = pow2(4, 8)
+            s["ppr_alpha"] = uniform(0.01, 0.2)
+            s["heat_time"] = uniform(1.0, 5.0)
+    elif ds in ("Computers", "CoauthorCS"):
+        if ds == "Computers":
+            s["decay"] = loguniform(2e-3, 1e-2)
+            s["lr"] = loguniform(5e-5, 5e-3)
+            s["hidden_dim"] = pow2(4, 8)
+            reg_lo = 0.01
+        else:
+            s["decay"] = loguniform(1e-3, 2e-2)
+            s["lr"] = loguniform(1e-5, 0.1)
+            s["hidden_dim"] = pow2(4, 6)
+            reg_lo = 0.01
+        if regularise:
+            s["kinetic_energy"] = loguniform(reg_lo, 10.0)
+            s["directional_penalty"] = loguniform(
+                1e-3 if ds == "Computers" else 0.01, 10.0)
+        s["input_dropout"] = uniform(0.4, 0.8)
+        s["dropout"] = uniform(0.0, 0.8)
+        s["self_loop_weight"] = choice([0.0, 1.0])
+        s["time"] = uniform(0.5, 10.0)
+        s["optimizer"] = choice(["adam", "adamax", "rmsprop"])
+        if att:
+            s["heads"] = pow2(0, 4)
+            s["attention_dim"] = pow2(3, 8)
+            s["attention_norm_idx"] = (const(1) if ds == "Computers"
+                                       else choice([0, 1]))
+            s["leaky_relu_slope"] = uniform(0.0, 0.8)
+            s["self_loop_weight"] = _self_loop_mixed(base)
+        else:
+            s["self_loop_weight"] = uniform(0.0, 3.0)
+        s["tol_scale"] = loguniform(1e1, 1e4)
+        if base.adjoint:
+            s["tol_scale_adjoint"] = loguniform(1.0, 1e5)
+            s["adjoint_method"] = choice(["dopri5", "adaptive_heun", "rk4"])
+        if base.rewiring == "gdc":
+            s["gdc_sparsification"] = const("threshold")
+            s["exact"] = const(False)
+            s["gdc_method"] = const("ppr")
+            if ds == "Computers":
+                s["gdc_threshold"] = loguniform(1e-5, 1e-2)
+                s["ppr_alpha"] = uniform(0.01, 0.2)
+            else:
+                s["gdc_threshold"] = loguniform(1e-4, 5e-4)
+                s["ppr_alpha"] = uniform(0.1, 0.25)
+    elif ds == "Photo":
+        s["decay"] = loguniform(1e-3, 1e-2)
+        if regularise:
+            s["kinetic_energy"] = loguniform(0.01, 5.0)
+            s["directional_penalty"] = loguniform(1e-3, 10.0)
+        s["hidden_dim"] = pow2(3, 7)
+        s["lr"] = loguniform(1e-3, 0.1)
+        s["input_dropout"] = uniform(0.4, 0.8)
+        s["dropout"] = uniform(0.0, 0.8)
+        s["time"] = uniform(0.5, 7.0)
+        s["optimizer"] = choice(["adam", "adamax", "rmsprop"])
+        if att:
+            s["heads"] = pow2(0, 3)
+            s["attention_dim"] = pow2(3, 6)
+            s["attention_norm_idx"] = choice([0, 1])
+            s["self_loop_weight"] = _self_loop_mixed(base)
+            s["leaky_relu_slope"] = uniform(0.0, 0.8)
+        else:
+            s["self_loop_weight"] = uniform(0.0, 3.0)
+        s["tol_scale"] = loguniform(100.0, 1e5)
+        if base.adjoint:
+            s["tol_scale_adjoint"] = loguniform(100.0, 1e5)
+            s["adjoint_method"] = choice(["dopri5", "adaptive_heun"])
+        if base.rewiring == "gdc":
+            s["gdc_sparsification"] = const("threshold")
+            s["exact"] = const(False)
+            s["gdc_method"] = const("ppr")
+            s["gdc_threshold"] = loguniform(1e-4, 5e-4)
+            s["ppr_alpha"] = uniform(0.1, 0.25)
+    elif ds == "ogbn-arxiv":
+        # the reference's arxiv space fixes decay=0 and leaves everything
+        # else at the (best-params) base — its whole body is commented out
+        # (ray_tune.py:479-544)
+        s["decay"] = const(0.0)
+    else:
+        # datasets the reference never tuned: a generic space
+        s = {
+            "decay": loguniform(1e-3, 1e-2),
+            "lr": loguniform(1e-3, 0.1),
+            "input_dropout": uniform(0.2, 0.8),
+            "dropout": uniform(0.0, 0.8),
+            "self_loop_weight": choice([0.0, 1.0]),
+            "time": uniform(2.0, 30.0),
+            "tol_scale": loguniform(1.0, 1e4),
+            "optimizer": choice(["adam", "adamax", "rmsprop"]),
+            "hidden_dim": choice([16, 32, 64, 80, 128]),
+            "heads": choice([1, 2, 4, 8]),
+            "square_plus": choice([True, False]),
+            "add_source": choice([True, False]),
+        }
+    return s
 
 
 def sample_config(base: Config, space: Dict[str, Callable],
@@ -104,13 +285,22 @@ class Trial:
     epochs_run: int = 0
     failed: bool = False
     error: str = ""
+    # per-split training carry for warm rung resume (params/opt state/rng);
+    # dropped when the trial is culled
+    carries: dict = field(default_factory=dict)
 
 
 def _run_trial(cfg: Config, dataset: NodeDataset, epochs: int,
                num_splits: int, seed: int, checkpoint_dir: Optional[str],
-               trial_idx: int) -> Dict[str, float]:
+               trial_idx: int, carries: Optional[dict] = None
+               ) -> Dict[str, float]:
     """Train on num_splits random splits; return mean metrics
-    (train_ray_rand semantics, ray_tune.py:40-93)."""
+    (train_ray_rand semantics, ray_tune.py:40-93).
+
+    ``carries`` (mutated in place) holds per-split training state so a trial
+    surviving to a later ASHA rung *resumes* instead of retraining from
+    scratch — the reference restores per-trial torch checkpoints the same way
+    (ray_tune.py:128-134)."""
     import jax.numpy as jnp
     from graph_neural_pde_tpu.data.datasets import set_train_val_test_split
     from graph_neural_pde_tpu.models.gnn import GNNModel
@@ -137,9 +327,12 @@ def _run_trial(cfg: Config, dataset: NodeDataset, epochs: int,
             model = GNNEarlyModel(cfg, ds.num_features, ds.num_classes,
                                   ds.graph)
         trainer = Trainer(model)
-        params, state, best, _ = trainer.fit(ds, epochs=epochs,
-                                             seed=seed + split,
-                                             verbose=False)
+        carry = carries.get(split) if carries is not None else None
+        params, state, best, _, carry = trainer.fit(
+            ds, epochs=epochs, seed=seed + split, verbose=False,
+            carry=carry, return_carry=True)
+        if carries is not None:
+            carries[split] = carry
         if not cfg.no_early:
             _, snap, _ = model.apply_early(
                 params, state, ds.x, ds.y,
@@ -148,6 +341,8 @@ def _run_trial(cfg: Config, dataset: NodeDataset, epochs: int,
                 best = {"val_acc": float(snap.val),
                         "test_acc": float(snap.test),
                         "train_acc": float(snap.train)}
+                if carries is not None:
+                    carries[split]["best"] = dict(best)
         vals.append(best["val_acc"])
         tests.append(best["test_acc"])
         trains.append(best["train_acc"])
@@ -174,7 +369,7 @@ def run_sweep(base_cfg: Config, dataset: NodeDataset, *, num_samples: int = 16,
     1/reduction_factor by validation accuracy at each rung.
     """
     rng = np.random.default_rng(seed)
-    space = space or set_search_space(base_cfg.dataset)
+    space = space or set_search_space(base_cfg)
     trials = [Trial(i, sample_config(base_cfg, space, rng))
               for i in range(num_samples)]
 
@@ -193,7 +388,7 @@ def run_sweep(base_cfg: Config, dataset: NodeDataset, *, num_samples: int = 16,
                 try:
                     metrics = _run_trial(t.cfg, dataset, rung_epochs,
                                          num_splits, seed, checkpoint_dir,
-                                         t.idx)
+                                         t.idx, carries=t.carries)
                     t.val_acc = metrics["accuracy"]
                     t.test_acc = metrics["test_acc"]
                     t.train_acc = metrics["train_acc"]
@@ -201,6 +396,7 @@ def run_sweep(base_cfg: Config, dataset: NodeDataset, *, num_samples: int = 16,
                     break
                 except Exception as ex:  # trial fault tolerance
                     fails += 1
+                    t.carries.clear()   # retry from scratch, not partial state
                     if fails > max_failures:
                         t.failed = True
                         t.error = str(ex)[:500]
@@ -213,6 +409,8 @@ def run_sweep(base_cfg: Config, dataset: NodeDataset, *, num_samples: int = 16,
         survivors = [t for t in alive if not t.failed]
         survivors.sort(key=lambda t: -t.val_acc)
         keep = max(1, math.ceil(len(survivors) / reduction_factor))
+        for t in survivors[keep:]:
+            t.carries.clear()          # culled: free the training state
         alive = survivors[:keep]
         if rung_epochs >= max_epochs:
             break

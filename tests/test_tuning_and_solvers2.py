@@ -100,7 +100,85 @@ class TestSweep:
         rng = np.random.default_rng(0)
         cfg = sample_config(Config(), space, rng)
         assert cfg.attention_dim % cfg.heads == 0
-        assert 1e-3 <= cfg.lr <= 0.1
+        assert 0.01 <= cfg.lr <= 0.2          # ray_tune.py:210
+
+    def test_per_dataset_spaces_match_reference_ranges(self):
+        """Translated ranges of ray_tune.py:203-544 per dataset."""
+        rng = np.random.default_rng(1)
+        # Cora, attention base: norm_idx pinned to 0, hidden in {64,128}
+        base = Config(dataset="Cora", block="attention")
+        for _ in range(8):
+            c = sample_config(base, set_search_space(base), rng)
+            assert c.attention_norm_idx == 0
+            assert c.hidden_dim in (64, 128)
+            assert c.input_dropout == 0.5
+            assert c.optimizer in ("adam", "adamax")
+            assert 0.0 <= c.dropout <= 0.15
+            assert c.self_loop_weight in (0.0, 1.0)
+        # Cora constant block: self-loop becomes uniform(0, 3)
+        base_c = Config(dataset="Cora", block="constant")
+        sls = [sample_config(base_c, set_search_space(base_c), rng)
+               .self_loop_weight for _ in range(16)]
+        assert any(s not in (0.0, 1.0) for s in sls)
+        # Citeseer pins norm_idx=1 and decay=0.1
+        base2 = Config(dataset="Citeseer", block="attention")
+        c2 = sample_config(base2, set_search_space(base2), rng)
+        assert c2.attention_norm_idx == 1 and c2.decay == 0.1
+        assert c2.hidden_dim == 128
+        # Pubmed requires adjoint
+        import pytest as _pt
+        with _pt.raises(ValueError, match="adjoint"):
+            set_search_space(Config(dataset="Pubmed", adjoint=False))
+        c3 = sample_config(
+            Config(dataset="Pubmed", adjoint=True, block="attention"),
+            set_search_space(Config(dataset="Pubmed", adjoint=True,
+                                    block="attention")), rng)
+        assert c3.adjoint_method in ("dopri5", "adaptive_heun")
+        # arxiv space only fixes decay=0
+        s4 = set_search_space(Config(dataset="ogbn-arxiv"))
+        assert list(s4) == ["decay"]
+        # gdc rewiring branch adds diffusion params
+        base5 = Config(dataset="Citeseer", block="attention", rewiring="gdc")
+        s5 = set_search_space(base5)
+        assert "gdc_method" in s5 and "ppr_alpha" in s5
+
+    def test_warm_resume_matches_fresh_run(self):
+        """A 4-epoch fit resumed to 8 epochs takes the same steps as a fresh
+        8-epoch fit (ASHA rung resume, ray_tune.py:128-134)."""
+        import jax
+        from graph_neural_pde_tpu.models.gnn import GNNModel
+        from graph_neural_pde_tpu.training.train import Trainer
+        ds = make_sbm_dataset(num_nodes=50, num_classes=3, num_features=8,
+                              seed=31)
+        cfg = Config(hidden_dim=8, method="rk4", step_size=0.5, time=1.0,
+                     input_dropout=0.0, dropout=0.0, lr=0.05,
+                     block="constant", function="laplacian")
+        model = GNNModel(cfg, ds.num_features, ds.num_classes, ds.graph)
+        tr = Trainer(model)
+        p_fresh, *_ = tr.fit(ds, epochs=8, seed=3, verbose=False)
+        _, _, _, _, carry = tr.fit(ds, epochs=4, seed=3, verbose=False,
+                                   return_carry=True)
+        p_res, *_ = tr.fit(ds, epochs=8, seed=3, verbose=False, carry=carry)
+        for a, b in zip(jax.tree_util.tree_leaves(p_fresh),
+                        jax.tree_util.tree_leaves(p_res)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+    def test_sweep_rungs_resume_not_retrain(self):
+        """run_sweep rung 2 continues from rung 1's carried epoch."""
+        from graph_neural_pde_tpu.training.tuning import run_sweep
+        ds = make_sbm_dataset(num_nodes=50, num_classes=3, num_features=8,
+                              seed=32)
+        base = Config(dataset="synthetic", hidden_dim=8, method="rk4",
+                      step_size=0.5, time=1.0, input_dropout=0.0, dropout=0.0,
+                      block="constant", function="laplacian")
+        trials = run_sweep(base, ds, num_samples=2, max_epochs=6,
+                           grace_period=3, reduction_factor=2, seed=0,
+                           verbose=False)
+        winner = trials[0]
+        assert winner.epochs_run == 6
+        # the carried state records the cumulative epoch, not a fresh run
+        assert winner.carries[0]["epoch"] == 6
 
 
 class TestCheckpoint:
