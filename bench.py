@@ -56,44 +56,153 @@ def build_benchmark(num_nodes=169_343, num_edges=1_166_243, hidden=128,
         hidden_dim=hidden, attention_dim=attention_dim, heads=heads,
         self_loop_weight=1.0, add_source=False, input_dropout=0.0, dropout=0.0,
         max_nfe=1000, stripe_fused=True,
+        # TPU-native precision: bf16 per-edge payloads + bf16 ODE state on
+        # the fixed grid (the MXU's native dtype; f32 accumulation)
+        rhs_payload_dtype="bfloat16", dtype="bfloat16",
     )
     model = GNNModel(cfg, num_features, num_classes, g)
     params, state = model.init(jax.random.PRNGKey(seed))
-    return model, params, state, jnp.asarray(x)
+    return model, params, state, jnp.asarray(x), g, num_features, num_classes
 
 
-def main():
-    model, params, state, x = build_benchmark()
-    g = model.graph
-    e_valid = int(jax.device_get(g.num_edges))
+def build_grand_l_cheby(g, num_features, num_classes, hidden=128, seed=0):
+    """Secondary: GRAND-l (frozen attention + laplacian — the family every
+    tuned best_params config uses) solved exactly by the Chebyshev expm
+    expansion (solvers/chebyshev.py). NFE = matvec count."""
+    from graph_neural_pde_tpu.config import Config
+    from graph_neural_pde_tpu.models.gnn import GNNModel
 
+    cfg = Config(
+        dataset="ogbn-arxiv-synthetic", block="attention",
+        function="laplacian", method="cheby", time=3.6760155951687636,
+        hidden_dim=hidden, attention_dim=32, heads=2, self_loop_weight=1.0,
+        add_source=False, input_dropout=0.0, dropout=0.0, max_nfe=1000,
+    )
+    model = GNNModel(cfg, num_features, num_classes, g)
+    params, state = model.init(jax.random.PRNGKey(seed))
+    return model, params, state
+
+
+def _sync(arr):
+    # block_until_ready is unreliable over the axon tunnel: fetch 1 element
+    _ = float(jax.device_get(arr.reshape(-1)[:1])[0])
+
+
+def _time_forward(model, params, state, x, reps=5):
     @jax.jit
     def forward(params, x):
         logits, _, stats, _ = model.apply(params, state, x, training=False)
         return logits, stats["nfe"]
 
-    # compile + warm up
     t_compile = time.time()
     logits, nfe = forward(params, x)
-    logits.block_until_ready()
+    _sync(logits)
     compile_s = time.time() - t_compile
     nfe = int(jax.device_get(nfe))
-
-    reps = 5
     t0 = time.time()
     for _ in range(reps):
         logits, _ = forward(params, x)
-    logits.block_until_ready()
-    dt = (time.time() - t0) / reps
+    _sync(logits)
+    return nfe, (time.time() - t0) / reps, compile_s
 
+
+def verify_kernels_on_device():
+    """Compiled (non-interpret) Mosaic kernels vs XLA oracles on this chip.
+
+    CPU CI only ever exercises interpret mode; this pins the compiled
+    kernels every bench run (VERDICT r1: real-TPU kernel tests in the bench
+    session)."""
+    import numpy as np
+    from graph_neural_pde_tpu.ops.pallas.fused_rhs import (
+        _fused_call, _fused_score_max_impl)
+    from graph_neural_pde_tpu.ops.pallas.stripe import (
+        build_stripe_plan, _stripe_gather_call, _stripe_scatter2_call)
+
+    rng = np.random.default_rng(0)
+    n, e, d, att, heads = 512, 4096, 128, 64, 2
+    row = np.sort(rng.integers(0, n, e).astype(np.int32))
+    plan = build_stripe_plan(row, num_nodes=n, block_n=128, chunk=1024)
+    rows_of_slot = (np.repeat(plan.chunk_rows, plan.chunk) * plan.block_n
+                    + plan.row_local)
+    tab = jnp.asarray(rng.normal(size=(plan.num_nodes, d)), jnp.float32)
+    got = np.asarray(_stripe_gather_call(plan, tab, interpret=False))
+    want = np.asarray(tab)[rows_of_slot]
+    m = plan.valid
+    assert np.allclose(got[m], want[m], rtol=2e-2, atol=2e-2), "stripe gather"
+
+    vals = rng.normal(size=(plan.capacity, d)).astype(np.float32)
+    u = np.abs(rng.normal(size=(plan.capacity, 8))).astype(np.float32)
+    vals[~m] = 0
+    u[~m] = 0
+    num, den = _stripe_scatter2_call(plan, jnp.asarray(vals), jnp.asarray(u),
+                                     interpret=False)
+    wn = np.zeros((plan.num_nodes, d))
+    wd_ = np.zeros((plan.num_nodes, 8))
+    np.add.at(wn, rows_of_slot[m], vals[m])
+    np.add.at(wd_, rows_of_slot[m], u[m])
+    assert np.allclose(np.asarray(num), wn, rtol=2e-2, atol=2e-2), "scatter2"
+    assert np.allclose(np.asarray(den), wd_, rtol=2e-2, atol=2e-2), "scatter2"
+
+    q = jnp.asarray(rng.normal(size=(plan.num_nodes, att)) * 0.3, jnp.float32)
+    kw = jnp.asarray(rng.normal(size=(d, att)) * 0.1, jnp.float32)
+    kb = jnp.asarray(rng.normal(size=(att,)) * 0.1, jnp.float32)
+    x_g = jnp.asarray(vals, jnp.bfloat16)
+    gm = _fused_score_max_impl(plan, q, kw, kb, heads=heads, x_g=x_g,
+                               interpret=False)
+    fn_, fd = _fused_call(plan, q, kw, kb, x_g, gm, heads=heads,
+                          square_plus=False, interpret=False)
+    # oracle in numpy (bf16-quantised payload)
+    xf = np.asarray(x_g, np.float32)
+    src = np.asarray(q)[rows_of_slot]
+    k_e = xf @ np.asarray(kw) + np.asarray(kb)
+    d_k = att // heads
+    s = (src * k_e).reshape(-1, heads, d_k).sum(-1) / np.sqrt(d_k)
+    uu = np.exp(s - float(gm)) * m[:, None]
+    wnum = np.zeros((plan.num_nodes, heads * d))
+    wden = np.zeros((plan.num_nodes, heads))
+    np.add.at(wnum, rows_of_slot[m],
+              (uu[:, :, None] * xf[:, None, :]).reshape(-1, heads * d)[m])
+    np.add.at(wden, rows_of_slot[m], uu[m])
+    scale = np.abs(wnum).max() + 1e-9
+    assert np.abs(np.asarray(fn_) - wnum).max() / scale < 3e-2, "fused num"
+    dscale = np.abs(wden).max() + 1e-9
+    assert np.abs(np.asarray(fd)[:, :heads] - wden).max() / dscale < 3e-2, \
+        "fused den"
+    print("# kernels verified on-device (stripe gather, dual scatter, "
+          "fused RHS)", file=sys.stderr)
+
+
+def main():
+    if jax.default_backend() == "tpu":
+        verify_kernels_on_device()
+    model, params, state, x, g_raw, nf, nc = build_benchmark()
+    g = model.graph
+    e_valid = int(jax.device_get(g.num_edges))
+
+    nfe, dt, compile_s = _time_forward(model, params, state, x)
     edge_updates_per_sec = nfe * e_valid / dt
+
+    # secondary: GRAND-l solved by the Chebyshev expm expansion — the linear
+    # frozen-attention family every tuned best_params config belongs to
+    cheby_rate = None
+    try:
+        m2, p2, s2 = build_grand_l_cheby(g_raw, nf, nc)
+        nfe2, dt2, _ = _time_forward(m2, p2, s2, x)
+        cheby_rate = nfe2 * e_valid / dt2
+    except Exception as ex:  # noqa: BLE001
+        print(f"# cheby secondary failed: {ex}", file=sys.stderr)
+
     baseline = 1.5e8  # estimated torchdiffeq V100 edge·NFE/s (see docstring)
-    print(json.dumps({
+    out = {
         "metric": "grand_nl_arxiv_edge_updates_per_sec_nfe",
         "value": round(edge_updates_per_sec, 1),
         "unit": "edge·NFE/s",
         "vs_baseline": round(edge_updates_per_sec / baseline, 3),
-    }))
+    }
+    if cheby_rate is not None:
+        out["grand_l_cheby_edge_updates_per_sec"] = round(cheby_rate, 1)
+        out["grand_l_cheby_vs_baseline"] = round(cheby_rate / baseline, 3)
+    print(json.dumps(out))
     print(f"# nfe={nfe} edges={e_valid} fwd={dt*1000:.1f}ms "
           f"compile={compile_s:.1f}s device={jax.devices()[0]}",
           file=sys.stderr)

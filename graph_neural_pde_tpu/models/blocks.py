@@ -100,7 +100,8 @@ def build_stripe_engine(cfg: Config, g: Graph):
     assert g.rows_sorted, "prepare_graph must run before build_stripe_engine"
     plan = build_stripe_plan(np.asarray(g.row), np.asarray(g.mask),
                              num_nodes=g.num_nodes,
-                             block_n=cfg.spmm_block_n, chunk=cfg.spmm_chunk)
+                             block_n=cfg.stripe_block_n,
+                             chunk=cfg.stripe_chunk)
     idx = np.where(np.asarray(g.mask))[0]
     slots = np.asarray(plan.slot_of_edge)[idx]
     cap = plan.capacity
@@ -271,8 +272,25 @@ def block_forward(bparams, cfg: Config, g: Graph, x, training: bool,
         rhs_run = rhs
         state0 = x
 
+    # bf16 ODE state for fixed-grid solves: the state (and thus the gathers
+    # and aggregation payloads inside the RHS) carries in bfloat16, halving
+    # the HBM traffic of the hot loop. Fixed-step only — an adaptive
+    # controller's error estimate in bf16 (~3 decimal digits) would thrash
+    # the step size. Error accumulates per step, so this fits the tuned
+    # short fixed-grid solves (e.g. ogbn-arxiv rk4 with 4 steps).
+    from graph_neural_pde_tpu.solvers.api import FIXED_METHODS
+    lowp = cfg.dtype == "bfloat16" and cfg.method in FIXED_METHODS
+
     def func(p, t, y):
-        return rhs_run(p["f"], p["aux"], t, y)
+        out = rhs_run(p["f"], p["aux"], t, y)
+        if lowp:
+            out = jax.tree_util.tree_map(
+                lambda o, yy: o.astype(yy.dtype), out, y)
+        return out
+
+    if lowp:
+        state0 = jax.tree_util.tree_map(
+            lambda s: s.astype(jnp.bfloat16), state0)
 
     params = {"f": bparams["func"], "aux": aux}
     opts = SolverOptions.from_config(cfg)
@@ -280,6 +298,9 @@ def block_forward(bparams, cfg: Config, g: Graph, x, training: bool,
     stateT, stats = odeint(func, params, state0, 0.0, cfg.time, opts,
                            adjoint=cfg.adjoint and training,
                            adjoint_opts=adj_opts)
+    if lowp:
+        stateT = jax.tree_util.tree_map(
+            lambda s: s.astype(jnp.float32), stateT)
     if use_reg:
         z = stateT[0]
         reg_states = stateT[1:]

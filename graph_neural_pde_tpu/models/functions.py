@@ -99,26 +99,76 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
     d = x.shape[1]
     d_k = cfg.attention_dim // h
     ap = fparams["att"]
-    if not (cfg.beltrami and cfg.attention_type == "exp_kernel"):
-        # pack [K(x) ‖ x] so the column side costs ONE gather (indexed-op
-        # latency, not width, is what a TPU gather charges for)
+    pay_dt = jnp.bfloat16 if cfg.rhs_payload_dtype == "bfloat16" else x.dtype
+    beltrami_exp = cfg.beltrami and cfg.attention_type == "exp_kernel"
+
+    # one-pass Mosaic kernel: scores + softmax numerators/denominators fused
+    # with the aggregation, so only the x[col] gather touches HBM per eval.
+    # Softmax only (the global-max shift is gradient-free by invariance;
+    # squareplus differentiates through the max and keeps the composition).
+    use_mega = (stripe_plan is not None
+                and cfg.attention_type == "scaled_dot"
+                and not cfg.square_plus and not cfg.reweight_attention
+                and not beltrami_exp)
+    if use_mega:
+        from graph_neural_pde_tpu.models.layers import linear_apply as _lin2
+        from graph_neural_pde_tpu.ops.pallas.fused_rhs import (
+            fused_rhs_aggregate, fused_score_max)
+
+        q = _lin2(ap["Q"], x)
+        x_g = x.astype(pay_dt)[g.col]
+        gmax = jax.lax.stop_gradient(fused_score_max(
+            stripe_plan, q, ap["K"]["w"], ap["K"]["b"], h, x_g))
+        num, den = fused_rhs_aggregate(stripe_plan, h, False, q,
+                                       ap["K"]["w"], ap["K"]["b"], x_g, gmax)
+        num = num.reshape(g.num_nodes, h, d)
+        den_h = den[:, :h]
+
+        def divide(_):
+            return jnp.mean(num / (den_h[:, :, None] + 1e-16), axis=1)
+
+        def exact(_):
+            # a whole segment's exp underflowed under the global shift:
+            # recompute with the exact per-segment softmax composition
+            from graph_neural_pde_tpu.ops.scatter import segment_softmax
+            src = q[g.row].reshape(-1, h, d_k)
+            dst = (x_g.astype(x.dtype) @ ap["K"]["w"]
+                   + ap["K"]["b"]).reshape(-1, h, d_k)
+            prods = _scores(cfg, src, dst, d_k, ap)
+            att = segment_softmax(prods, g.row, g.num_nodes, mask=g.mask)
+            att = jnp.where(g.mask[:, None], att, 0.0)
+            return _fused_normalized_aggregate(cfg, g, att, x_g, x,
+                                               stripe_plan)
+
+        deg = jnp.asarray(stripe_plan.node_degree)
+        underflowed = jnp.any((den_h <= 0.0) & (deg[:, None] > 0))
+        ax = jax.lax.cond(underflowed, exact, divide, None)
+        f = _alpha(cfg, fparams) * (ax - x)
+        return _source(cfg, fparams, f, aux)
+
+    if not beltrami_exp:
+        # Column side: ONE 128-aligned gather of x[col], then project
+        # k_e = x[col] @ K per edge. (x@K)[col] and x[col]@K are the same
+        # contraction; measured on v5e the unaligned 192-wide packed gather
+        # costs 50 ms vs 13.5 ms for the aligned 128-wide one, and the E-row
+        # projection is ~1 ms of MXU.
         q = _lin(ap["Q"], x)
-        pack = jnp.concatenate([_lin(ap["K"], x), x], axis=1)
-        dst_pack = pack[g.col]
+        gathered = x.astype(pay_dt)[g.col]                    # [E, D]
+        k_e = (gathered @ ap["K"]["w"].astype(gathered.dtype)
+               + ap["K"]["b"].astype(gathered.dtype))
         if stripe_plan is not None:
             from graph_neural_pde_tpu.ops.pallas.stripe import stripe_gather
             src = stripe_gather(stripe_plan, q).reshape(-1, h, d_k)
         else:
             src = q[g.row].reshape(-1, h, d_k)
-        dst = dst_pack[:, : cfg.attention_dim].reshape(-1, h, d_k)
-        gathered = dst_pack[:, cfg.attention_dim:]            # x[col]
+        dst = k_e.astype(x.dtype).reshape(-1, h, d_k)
         prods = _scores(cfg, src, dst, d_k, ap)
         if cfg.reweight_attention:
             prods = prods * aux.edge_weight[:, None]
     else:
         prods, _v = transformer_scores(ap, cfg, x, g,
                                        edge_weight=aux.edge_weight)
-        gathered = x[g.col]
+        gathered = x.astype(pay_dt)[g.col]
 
     gmax = jnp.max(jnp.where(g.mask[:, None], prods, -jnp.inf))
     gmax = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
@@ -166,21 +216,34 @@ def _softmax_aggregate_guarded(cfg: Config, g: Graph, prods, u, gathered_x,
 
 def _fused_normalized_aggregate(cfg: Config, g: Graph, u, gathered_x, x,
                                 stripe_plan=None):
-    """Shared tail of the fused RHS paths: one scatter produces per-head
-    numerators and denominators (ones column), then mean over heads.
+    """Shared tail of the fused RHS paths: per-head numerators and
+    denominators from one aggregation pass, then mean over heads.
 
-    u: [E, H] unnormalised positive scores (masked); gathered_x: x[col]."""
+    u: [E, H] unnormalised positive scores (masked); gathered_x: x[col].
+
+    Stripe engine: the dual-output MXU kernel keeps the wide operand at the
+    128-aligned width H·D and lets the narrow denominators share its one-hot
+    (a ones column would make it H·(D+1) — lane-misaligned, measured 2.3x
+    slower). XLA engine: ones-column single segment-sum (one indexed op).
+    """
     h = cfg.heads
     d = x.shape[1]
-    ones = jnp.ones((gathered_x.shape[0], 1), x.dtype)
-    feat1 = jnp.concatenate([gathered_x, ones], axis=1)       # [E, D+1]
-    vals = (u[:, :, None] * feat1[:, None, :]).reshape(-1, h * (d + 1))
     if stripe_plan is not None:
-        from graph_neural_pde_tpu.ops.pallas.stripe import stripe_scatter_add
-        agg = stripe_scatter_add(stripe_plan, vals)
-    else:
-        agg = jax.ops.segment_sum(vals, g.row, num_segments=g.num_nodes,
-                                  indices_are_sorted=g.rows_sorted)
+        from graph_neural_pde_tpu.ops.pallas.stripe import stripe_scatter_add2
+        pay_dt = gathered_x.dtype
+        vals = (u[:, :, None].astype(pay_dt)
+                * gathered_x[:, None, :]).reshape(-1, h * d)
+        hp = max(8, h)                       # narrow operand, lane-padded
+        u_pad = jnp.zeros((u.shape[0], hp), pay_dt).at[:, :h].set(
+            u.astype(pay_dt))
+        num, den = stripe_scatter_add2(stripe_plan, vals, u_pad)
+        num = num.reshape(g.num_nodes, h, d)
+        return jnp.mean(num / (den[:, :h, None] + 1e-16), axis=1)
+    ones = jnp.ones((gathered_x.shape[0], 1), x.dtype)
+    feat1 = jnp.concatenate([gathered_x.astype(x.dtype), ones], axis=1)
+    vals = (u[:, :, None] * feat1[:, None, :]).reshape(-1, h * (d + 1))
+    agg = jax.ops.segment_sum(vals, g.row, num_segments=g.num_nodes,
+                              indices_are_sorted=g.rows_sorted)
     agg = agg.reshape(g.num_nodes, h, d + 1)
     return jnp.mean(agg[:, :, :d] / (agg[:, :, d:] + 1e-16), axis=1)
 
@@ -198,22 +261,25 @@ def _gat_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config, g: Graph,
     h = cfg.heads
     d = x.shape[1]
     d_k = cfg.attention_dim // h
+    pay_dt = jnp.bfloat16 if cfg.rhs_payload_dtype == "bfloat16" else x.dtype
     wx = x @ ap["W"]                                          # [N, att_dim]
     hh = wx.reshape(-1, h, d_k)
     a_vec = ap["a"][:, 0]
     s_src = jnp.einsum("nhd,d->nh", hh, a_vec[:d_k])          # [N, H]
-    s_dst = jnp.einsum("nhd,d->nh", hh, a_vec[d_k:])
+    # s_dst[col] = x[col] @ (W·a_dst folded per head) — lets the column side
+    # stay ONE 128-aligned gather of x (an [H+D]-wide pack is lane-misaligned)
+    w_dst = jnp.einsum("dhf,f->dh", ap["W"].reshape(d, h, d_k),
+                       a_vec[d_k:])
 
-    pack = jnp.concatenate([s_dst, x], axis=1)                # [N, H+D]
-    dst_pack = pack[g.col]
+    gathered = x.astype(pay_dt)[g.col]                        # [E, D]
+    s_dst_e = (gathered @ w_dst.astype(gathered.dtype)).astype(x.dtype)
     if stripe_plan is not None:
         from graph_neural_pde_tpu.ops.pallas.stripe import stripe_gather
         s_src_e = stripe_gather(stripe_plan, s_src)
     else:
         s_src_e = s_src[g.row]
-    scores = jax.nn.leaky_relu(s_src_e + dst_pack[:, :h],
+    scores = jax.nn.leaky_relu(s_src_e + s_dst_e,
                                cfg.leaky_relu_slope)          # [E, H]
-    gathered = dst_pack[:, h:]
 
     gmax = jnp.max(jnp.where(g.mask[:, None], scores, -jnp.inf))
     gmax = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
@@ -281,18 +347,15 @@ def make_rhs(cfg: Config, g: Graph, spmm_fn: Optional[Callable] = None,
             if use_fused_gat:
                 return _gat_rhs_fused(fparams, aux, t, x, cfg, g, stripe_plan)
             attention, wx = apply_gat_attention(fparams["att"], cfg, x, g)
+            # GAT aggregates the SAME value matrix under every head
+            # (function_GAT_attention.py:32-44), and spmm is linear in the
+            # weights, so mean_h spmm(att_h, V) == spmm(mean_h att, V):
+            # one spmm instead of materialising [E, H, D]
+            mean_att = jnp.mean(attention, axis=1)
             if cfg.mix_features:
-                # per-head spmm of the full wx, meaned, then Wout
-                # (function_GAT_attention.py:32-44)
-                h = cfg.heads
-                wx_b = jnp.broadcast_to(wx[:, None, :],
-                                        (wx.shape[0], h, wx.shape[1]))
-                ax = jnp.mean(spmm_multihead(g, attention, wx_b), axis=1)
-                ax = ax @ fparams["att"]["Wout"]
+                ax = spmm(g, wx, weight=mean_att) @ fparams["att"]["Wout"]
             else:
-                h = cfg.heads
-                x_b = jnp.broadcast_to(x[:, None, :], (x.shape[0], h, x.shape[1]))
-                ax = jnp.mean(spmm_multihead(g, attention, x_b), axis=1)
+                ax = spmm(g, x, weight=mean_att)
             f = _alpha(cfg, fparams) * (ax - x)
             return _source(cfg, fparams, f, aux)
 

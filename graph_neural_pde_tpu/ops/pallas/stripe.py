@@ -45,7 +45,8 @@ def _on_tpu() -> bool:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=("row_local", "valid", "chunk_rows", "slot_of_edge"),
+         data_fields=("row_local", "valid", "chunk_rows", "slot_of_edge",
+                      "node_degree"),
          meta_fields=("block_n", "chunk", "num_nodes"))
 @dataclass(frozen=True)
 class StripePlan:
@@ -56,12 +57,16 @@ class StripePlan:
     chunk_rows   : int32[n_chunks] — node-block id per chunk
     slot_of_edge : int32[E_in] — plan slot of each input edge (for scattering
                    per-edge values computed in input order into plan order)
+    node_degree  : int32[num_nodes] — valid out-edges per row (lets the
+                   softmax-underflow guard distinguish a zeroed denominator
+                   from a genuinely edgeless node)
     """
 
     row_local: np.ndarray
     valid: np.ndarray
     chunk_rows: np.ndarray
     slot_of_edge: np.ndarray
+    node_degree: np.ndarray
     block_n: int
     chunk: int
     num_nodes: int
@@ -117,6 +122,8 @@ def build_stripe_plan(row, mask=None, *, num_nodes: int, block_n: int = 1024,
     return StripePlan(row_local=row_local, valid=valid,
                       chunk_rows=chunk_rows,
                       slot_of_edge=slot_of_edge.astype(np.int32),
+                      node_degree=np.bincount(
+                          r, minlength=n_pad).astype(np.int32),
                       block_n=block_n, chunk=chunk, num_nodes=n_pad)
 
 
@@ -250,3 +257,148 @@ def _ss_bwd(plan, _res, ct):
 
 
 stripe_scatter_add.defvjp(_ss_fwd, _ss_bwd)
+
+
+# ---------------------------------------------------------------------------
+# dual scatter / gather: numerators + denominators share ONE one-hot
+# ---------------------------------------------------------------------------
+# The fused attention RHS needs Σ_e u_eh·x_e (wide, H·D) AND Σ_e u_eh (narrow)
+# per row. Appending a ones column makes the wide operand H·(D+1) — and a
+# 128-misaligned lane width costs ~2.3x on Mosaic (measured: 23 ms vs 9.9 ms
+# at 2.7M slots). Instead both sums ride one kernel: the one-hot selector is
+# built once and feeds two MXU matmuls, keeping the wide side 128-aligned;
+# the narrow side adds ~3% FLOPs.
+
+def _scatter2_kernel(cr_ref, rowl_ref, vals_ref, u_ref, num_ref, den_ref, *,
+                     chunk, block_n, dtype):
+    i = pl.program_id(0)
+    prev = cr_ref[jnp.maximum(i - 1, 0)]
+
+    @pl.when((i == 0) | (cr_ref[i] != prev))
+    def _():
+        num_ref[:] = jnp.zeros_like(num_ref)
+        den_ref[:] = jnp.zeros_like(den_ref)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (block_n, chunk), 0)
+    s = (rowl_ref[:][None, :] == iota).astype(dtype)
+    num_ref[:] += jnp.dot(s, vals_ref[:].astype(dtype),
+                          preferred_element_type=jnp.float32)
+    den_ref[:] += jnp.dot(s, u_ref[:].astype(dtype),
+                          preferred_element_type=jnp.float32)
+
+
+def _stripe_scatter2_call(plan: StripePlan, vals: jax.Array, u: jax.Array,
+                          dtype=jnp.bfloat16, interpret: bool | None = None):
+    """(num [N, D], den [N, Hp]) = per-row sums of vals [cap, D], u [cap, Hp].
+
+    Invalid slots must carry zeros in BOTH operands."""
+    cap, d = vals.shape
+    hp = u.shape[1]
+    assert cap == plan.capacity and u.shape[0] == cap
+    chunk, block_n, nc = plan.chunk, plan.block_n, plan.n_chunks
+    if interpret is None:
+        interpret = not _on_tpu()
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((chunk,), lambda i, cr: (i,)),
+            pl.BlockSpec((chunk, d), lambda i, cr: (i, 0)),
+            pl.BlockSpec((chunk, hp), lambda i, cr: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_n, d), lambda i, cr: (cr[i], 0)),
+            pl.BlockSpec((block_n, hp), lambda i, cr: (cr[i], 0)),
+        ),
+    )
+    kernel = functools.partial(_scatter2_kernel, chunk=chunk,
+                               block_n=block_n, dtype=dtype)
+    flops = 2 * nc * chunk * block_n * (d + hp)
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((plan.num_nodes, d), jnp.float32),
+                   jax.ShapeDtypeStruct((plan.num_nodes, hp), jnp.float32)),
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=nc * chunk * (d + hp) * 4,
+                                      transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(plan.chunk_rows), jnp.asarray(plan.row_local), vals, u)
+
+
+def _gather2_kernel(cr_ref, rowl_ref, t1_ref, t2_ref, o1_ref, o2_ref, *,
+                    chunk, block_n, dtype):
+    iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, block_n), 1)
+    p = (rowl_ref[:][:, None] == iota).astype(dtype)
+    o1_ref[:] = jnp.dot(p, t1_ref[:].astype(dtype),
+                        preferred_element_type=jnp.float32)
+    o2_ref[:] = jnp.dot(p, t2_ref[:].astype(dtype),
+                        preferred_element_type=jnp.float32)
+
+
+def _stripe_gather2_call(plan: StripePlan, t1: jax.Array, t2: jax.Array,
+                         dtype=jnp.bfloat16, interpret: bool | None = None):
+    """(t1[row], t2[row]) in plan slot order — one one-hot, two tables."""
+    n_pad, d1 = t1.shape
+    d2 = t2.shape[1]
+    assert n_pad == plan.num_nodes and t2.shape[0] == n_pad
+    chunk, block_n, nc = plan.chunk, plan.block_n, plan.n_chunks
+    if interpret is None:
+        interpret = not _on_tpu()
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((chunk,), lambda i, cr: (i,)),
+            pl.BlockSpec((block_n, d1), lambda i, cr: (cr[i], 0)),
+            pl.BlockSpec((block_n, d2), lambda i, cr: (cr[i], 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((chunk, d1), lambda i, cr: (i, 0)),
+            pl.BlockSpec((chunk, d2), lambda i, cr: (i, 0)),
+        ),
+    )
+    kernel = functools.partial(_gather2_kernel, chunk=chunk, block_n=block_n,
+                               dtype=dtype)
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((plan.capacity, d1), jnp.float32),
+                   jax.ShapeDtypeStruct((plan.capacity, d2), jnp.float32)),
+        interpret=interpret,
+    )(jnp.asarray(plan.chunk_rows), jnp.asarray(plan.row_local), t1, t2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def stripe_scatter_add2(plan: StripePlan, vals: jax.Array, u: jax.Array):
+    """Differentiable (num, den) = (Σ_rows vals, Σ_rows u). Zeros on padding."""
+    return _stripe_scatter2_call(plan, vals, u)
+
+
+def _ss2_fwd(plan, vals, u):
+    return _stripe_scatter2_call(plan, vals, u), None
+
+
+def _ss2_bwd(plan, _res, cts):
+    ct_num, ct_den = cts
+    gv, gu = _stripe_gather2_call(plan, ct_num, ct_den)
+    m = jnp.asarray(plan.valid, gv.dtype)[:, None]
+    return (gv * m, gu * m)
+
+
+stripe_scatter_add2.defvjp(_ss2_fwd, _ss2_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def stripe_gather2(plan: StripePlan, t1: jax.Array, t2: jax.Array):
+    """Differentiable (t1[row], t2[row]) in plan slot order."""
+    return _stripe_gather2_call(plan, t1, t2)
+
+
+def _sg2_fwd(plan, t1, t2):
+    return _stripe_gather2_call(plan, t1, t2), None
+
+
+def _sg2_bwd(plan, _res, cts):
+    return _stripe_scatter2_call(plan, cts[0], cts[1])
+
+
+stripe_gather2.defvjp(_sg2_fwd, _sg2_bwd)

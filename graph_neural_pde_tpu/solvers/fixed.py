@@ -46,19 +46,23 @@ def odeint_fixed(func: Callable, params, y0, t0: float, t1: float, *,
 
     def one_step(y, t_dt):
         t, dt = t_dt
+
+        def axpy(coeff):
+            # keep the carry dtype (bf16 states: dt is f32, so the product
+            # would silently promote and break the scan carry contract)
+            return lambda yy, kk: (yy + (dt * coeff) * kk).astype(yy.dtype)
+
         ks = [func(params, t, y)]
         for a, brow in zip(tab.alpha, tab.beta):
             yi = y
             for bj, kj in zip(brow, ks):
                 if bj != 0.0:
-                    yi = jax.tree_util.tree_map(
-                        lambda yy, kk: yy + dt * bj * kk, yi, kj)
+                    yi = jax.tree_util.tree_map(axpy(bj), yi, kj)
             ks.append(func(params, t + a * dt, yi))
         y1 = y
         for cj, kj in zip(tab.c_sol, ks):
             if cj != 0.0:
-                y1 = jax.tree_util.tree_map(
-                    lambda yy, kk: yy + dt * cj * kk, y1, kj)
+                y1 = jax.tree_util.tree_map(axpy(cj), y1, kj)
         return y1, (y1 if return_trajectory else None)
 
     step = jax.checkpoint(one_step) if remat else one_step

@@ -23,6 +23,33 @@ from graph_neural_pde_tpu.models.functions import active_regularizers
 from graph_neural_pde_tpu.models.gnn import GNNModel
 
 
+def _torch_rmsprop(lr: float, alpha: float = 0.99, eps: float = 1e-8
+                   ) -> optax.GradientTransformation:
+    """torch.optim.RMSprop semantics: update = g / (sqrt(nu) + eps).
+
+    optax.rmsprop computes g * rsqrt(nu + eps) — eps inside the sqrt — which
+    diverges from torch for small-magnitude gradient components (the first
+    steps are effectively sign-SGD either way, but the eps floor kicks in at
+    |g| ~ sqrt(eps) instead of ~eps). The tuned CoauthorCS / ogbn-arxiv
+    configs train with rmsprop, so torch-exact semantics matter for
+    reproduction; pinned by tests/test_torch_training_parity.py.
+    """
+
+    def init(params):
+        return {"nu": jax.tree_util.tree_map(jnp.zeros_like, params)}
+
+    def update(grads, state, params=None):
+        del params
+        nu = jax.tree_util.tree_map(
+            lambda n, g: alpha * n + (1.0 - alpha) * g * g,
+            state["nu"], grads)
+        upd = jax.tree_util.tree_map(
+            lambda g, n: -lr * g / (jnp.sqrt(n) + eps), grads, nu)
+        return upd, {"nu": nu}
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     """Torch-style coupled weight decay (L2 added to gradients before the
     moment updates), matching run_GNN.get_optimizer (run_GNN.py:24-36)."""
@@ -30,7 +57,7 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     if name == "sgd":
         core = optax.sgd(lr)
     elif name == "rmsprop":
-        core = optax.rmsprop(lr, decay=0.99, eps=1e-8)
+        core = _torch_rmsprop(lr, alpha=0.99, eps=1e-8)
     elif name == "adagrad":
         core = optax.adagrad(lr, eps=1e-10)
     elif name == "adam":

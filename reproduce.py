@@ -81,13 +81,52 @@ def run_one(name: str, data_dir: str, reps: int, epochs: int | None,
             "val": aggregate_runs(vals), "test": aggregate_runs(tests)}
 
 
+def solver_consistency(name: str, data_dir: str, reps: int,
+                       epochs: int | None, seed: int = 0):
+    """Self-consistency: the same tuned config trained under different
+    solvers must reach statistically indistinguishable accuracy — the
+    strongest synthetic-data claim available without the real datasets
+    (solver choice is a numerics knob, not a modelling one)."""
+    cfg0 = best_params[name]
+    variants = {"dopri5": {}, "rk4": {"method": "rk4", "step_size": 1.0},
+                "adaptive_heun": {"method": "adaptive_heun"}}
+    if cfg0.function == "laplacian" and cfg0.block == "attention":
+        variants["cheby"] = {"method": "cheby", "no_early": True}
+    rows = []
+    for label, over in variants.items():
+        saved = best_params[name]
+        try:
+            best_params[name] = saved.replace(**over)
+            r = run_one(name, data_dir, reps, epochs, seed=seed,
+                        verbose=False)
+        finally:
+            best_params[name] = saved
+        r["solver"] = label
+        rows.append(r)
+        t = r["test"]
+        print(f"  [{name}/{label}] test {t['mean']:.4f} ± {t['ci95']:.4f} "
+              f"(n={t['n']})")
+    means = [r["test"]["mean"] for r in rows]
+    cis = [r["test"]["ci95"] for r in rows]
+    spread = max(means) - min(means)
+    tol = max(max(cis) * 2, 0.01)
+    consistent = spread <= tol
+    print(f"  [{name}] solver spread {spread:.4f} "
+          f"({'consistent' if consistent else 'INCONSISTENT'} at ±{tol:.4f})")
+    return {"dataset": name, "mode": "solver_consistency",
+            "rows": rows, "spread": spread, "consistent": bool(consistent)}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--datasets", nargs="+", default=list(best_params))
     p.add_argument("--data_dir", default="./data")
-    p.add_argument("--reps", type=int, default=4)
+    p.add_argument("--reps", type=int, default=5)
     p.add_argument("--epochs", type=int, default=None,
                    help="override the tuned epoch budget (for smoke runs)")
+    p.add_argument("--solver_consistency", action="store_true",
+                   help="also train each config under dopri5/rk4/heun(/cheby)"
+                        " and check the accuracies agree")
     p.add_argument("--out", default="reproduce_results.json")
     args = p.parse_args()
 
@@ -96,6 +135,9 @@ def main():
         print(f"[reproduce] {name} ({best_params[name].block}/"
               f"{best_params[name].function}, {best_params[name].method})")
         results.append(run_one(name, args.data_dir, args.reps, args.epochs))
+        if args.solver_consistency:
+            results.append(solver_consistency(name, args.data_dir, args.reps,
+                                              args.epochs))
 
     print("\n| dataset | data | test acc (mean ± sem, 95% CI) | val acc |")
     print("|---|---|---|---|")

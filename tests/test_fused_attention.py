@@ -220,3 +220,210 @@ class TestUnderflowGuard:
         m = np.asarray(g.mask)
         spread = prods[m].max() - prods[m].min()
         assert spread > 200.0, spread
+
+
+class TestDualStripeKernels:
+    def _plan_and_data(self, seed=0, n=40, e=150, d=16, hp=8):
+        from graph_neural_pde_tpu.ops.pallas.stripe import build_stripe_plan
+        rng = np.random.default_rng(seed)
+        row = np.sort(rng.integers(0, n, e).astype(np.int32))
+        plan = build_stripe_plan(row, num_nodes=n, block_n=8, chunk=16)
+        vals = rng.normal(size=(plan.capacity, d)).astype(np.float32)
+        u = np.abs(rng.normal(size=(plan.capacity, hp))).astype(np.float32)
+        vals[~plan.valid] = 0.0
+        u[~plan.valid] = 0.0
+        return plan, jnp.asarray(vals), jnp.asarray(u), row
+
+    def test_scatter2_matches_segment_sum(self):
+        from graph_neural_pde_tpu.ops.pallas.stripe import stripe_scatter_add2
+        plan, vals, u, row = self._plan_and_data()
+        num, den = stripe_scatter_add2(plan, vals, u)
+        # oracle: dense segment sums over the plan's slot rows
+        rows_of_slot = np.zeros(plan.capacity, np.int64)
+        # reconstruct slot rows from block id + local id
+        nb = plan.num_nodes // plan.block_n
+        for ci in range(plan.n_chunks):
+            s = ci * plan.chunk
+            rows_of_slot[s:s + plan.chunk] = (plan.chunk_rows[ci]
+                                              * plan.block_n
+                                              + plan.row_local[s:s + plan.chunk])
+        want_num = np.zeros((plan.num_nodes, vals.shape[1]))
+        want_den = np.zeros((plan.num_nodes, u.shape[1]))
+        np.add.at(want_num, rows_of_slot[plan.valid],
+                  np.asarray(vals)[plan.valid])
+        np.add.at(want_den, rows_of_slot[plan.valid],
+                  np.asarray(u)[plan.valid])
+        np.testing.assert_allclose(np.asarray(num), want_num, rtol=2e-2,
+                                   atol=2e-2)
+        np.testing.assert_allclose(np.asarray(den), want_den, rtol=2e-2,
+                                   atol=2e-2)
+
+    def test_scatter2_gather2_vjp_duality(self):
+        """grad of sum(num*A)+sum(den*B) == gather2(A, B) on valid slots."""
+        from graph_neural_pde_tpu.ops.pallas.stripe import (
+            stripe_scatter_add2, stripe_gather2)
+        plan, vals, u, _ = self._plan_and_data(seed=1)
+        A = jnp.asarray(np.random.default_rng(2).normal(
+            size=(plan.num_nodes, vals.shape[1])).astype(np.float32))
+        B = jnp.asarray(np.random.default_rng(3).normal(
+            size=(plan.num_nodes, u.shape[1])).astype(np.float32))
+
+        def f(v, uu):
+            num, den = stripe_scatter_add2(plan, v, uu)
+            return jnp.sum(num * A) + jnp.sum(den * B)
+
+        dv, du = jax.grad(f, argnums=(0, 1))(vals, u)
+        ga, gb = stripe_gather2(plan, A, B)
+        m = np.asarray(plan.valid)
+        np.testing.assert_allclose(np.asarray(dv)[m], np.asarray(ga)[m],
+                                   rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(du)[m], np.asarray(gb)[m],
+                                   rtol=2e-2, atol=2e-2)
+        assert (np.asarray(dv)[~m] == 0).all()
+
+
+class TestBf16Payload:
+    def test_bf16_engine_close_to_f32(self):
+        cfg, g, x, params, aux = setup("scaled_dot", False)
+        rhs_32 = make_rhs(cfg, g)
+        rhs_16 = make_rhs(cfg.replace(rhs_payload_dtype="bfloat16"), g)
+        f32 = np.asarray(rhs_32(params, aux, 0.0, x))
+        f16 = np.asarray(rhs_16(params, aux, 0.0, x))
+        scale = np.abs(f32).max() + 1e-9
+        assert np.abs(f16 - f32).max() / scale < 0.03
+
+
+class TestBf16State:
+    def test_bf16_fixed_step_close_to_f32(self):
+        """cfg.dtype='bfloat16' + rk4: solve in bf16 state tracks f32."""
+        import jax
+        from graph_neural_pde_tpu.models.blocks import (block_forward,
+                                                        init_block,
+                                                        prepare_graph)
+        rng = np.random.default_rng(0)
+        n, e, d = 40, 160, 16
+        g0 = make_graph(rng.integers(0, n, e).astype(np.int32),
+                        rng.integers(0, n, e).astype(np.int32), None,
+                        num_nodes=n)
+        cfg = Config(function="transformer", block="constant", hidden_dim=d,
+                     attention_dim=d, heads=2, method="rk4", step_size=0.5,
+                     time=2.0, self_loop_weight=1.0)
+        g = prepare_graph(cfg, g0)
+        bp = init_block(jax.random.PRNGKey(0), cfg, d)
+        x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+        z32, s32, _ = block_forward(bp, cfg, g, x, training=False)
+        cfg16 = cfg.replace(dtype="bfloat16")
+        z16, s16, _ = block_forward(bp, cfg16, g, x, training=False)
+        assert z16.dtype == jnp.float32          # cast back after the solve
+        assert int(s16["nfe"]) == int(s32["nfe"])
+        scale = float(jnp.abs(z32).max()) + 1e-9
+        assert float(jnp.abs(z16 - z32).max()) / scale < 0.05
+
+    def test_bf16_ignored_for_adaptive(self):
+        import jax
+        from graph_neural_pde_tpu.models.blocks import (block_forward,
+                                                        init_block,
+                                                        prepare_graph)
+        rng = np.random.default_rng(1)
+        n, e, d = 30, 100, 8
+        g0 = make_graph(rng.integers(0, n, e).astype(np.int32),
+                        rng.integers(0, n, e).astype(np.int32), None,
+                        num_nodes=n)
+        cfg = Config(function="laplacian", block="constant", hidden_dim=d,
+                     method="dopri5", time=1.0, tol_scale=100.0,
+                     dtype="bfloat16", self_loop_weight=1.0)
+        g = prepare_graph(cfg, g0)
+        bp = init_block(jax.random.PRNGKey(0), cfg, d)
+        x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+        z, _, _ = block_forward(bp, cfg, g, x, training=False)
+        assert z.dtype == jnp.float32
+
+
+class TestMegaKernelGradients:
+    def _setup(self, square_plus=False):
+        cfg, g, x, params, aux = setup("scaled_dot", square_plus)
+        cfg = cfg.replace(stripe_fused=True, stripe_block_n=8,
+                          stripe_chunk=16)
+        from graph_neural_pde_tpu.models.blocks import build_stripe_engine
+        g2 = g.sort_by_row()
+        g3, plan = build_stripe_engine(cfg, g2)
+        assert plan is not None
+        return cfg, g3, plan, x, params, aux
+
+    def test_forward_matches_composition(self):
+        cfg, g3, plan, x, params, aux = self._setup()
+        aux = aux._replace(edge_weight=g3.weight)
+        rhs_mega = make_rhs(cfg, g3, stripe_plan=plan)
+        rhs_ref = make_rhs(cfg.replace(stripe_fused=False), g3)
+        n = g3.num_nodes
+        xp = jnp.pad(x, ((0, n - x.shape[0]), (0, 0)))
+        aux = aux._replace(x0=xp)
+        f1 = np.asarray(rhs_mega(params, aux, 0.0, xp))
+        f2 = np.asarray(rhs_ref(params, aux, 0.0, xp))
+        scale = np.abs(f2).max() + 1e-9
+        assert np.abs(f1 - f2).max() / scale < 3e-2   # bf16 MXU internals
+
+    def test_gradients_match_composition(self):
+        """Hand-derived VJP of the fused kernel vs autodiff of the exact
+        composition, for params AND state."""
+        cfg, g3, plan, x, params, aux = self._setup()
+        aux = aux._replace(edge_weight=g3.weight)
+        rhs_mega = make_rhs(cfg, g3, stripe_plan=plan)
+        rhs_ref = make_rhs(cfg.replace(stripe_fused=False), g3)
+        n = g3.num_nodes
+        xp = jnp.pad(x, ((0, n - x.shape[0]), (0, 0)))
+        ct = jnp.asarray(np.random.default_rng(4).normal(
+            size=(n, x.shape[1])).astype(np.float32))
+
+        aux = aux._replace(x0=xp)
+
+        def loss(rhs):
+            def f(p, xx):
+                return jnp.sum(rhs(p, aux, 0.0, xx) * ct)
+            return jax.grad(f, argnums=(0, 1))(params, xp)
+
+        gm, gr = loss(rhs_mega), loss(rhs_ref)
+        # normalise by the GLOBAL gradient scale: K.b's true gradient is
+        # analytically zero (its per-segment-constant score term cancels
+        # under softmax normalisation), so per-leaf relative error there is
+        # bf16 cancellation noise around zero
+        gscale = max(np.abs(np.asarray(l)).max()
+                     for l in jax.tree_util.tree_leaves(gr)) + 1e-9
+        for a, b in zip(jax.tree_util.tree_leaves(gm),
+                        jax.tree_util.tree_leaves(gr)):
+            assert (np.abs(np.asarray(a) - np.asarray(b)).max() / gscale
+                    < 5e-2)
+
+    def test_adaptive_solve_with_mega_engine(self):
+        """dopri5 discrete adjoint through the fused kernel RHS."""
+        import jax
+        from graph_neural_pde_tpu.models.blocks import (block_forward,
+                                                        init_block,
+                                                        prepare_graph)
+        rng = np.random.default_rng(2)
+        n, e, d = 30, 100, 8
+        g0 = make_graph(rng.integers(0, n, e).astype(np.int32),
+                        rng.integers(0, n, e).astype(np.int32), None,
+                        num_nodes=n)
+        cfg = Config(function="transformer", block="constant", hidden_dim=d,
+                     attention_dim=8, heads=2, method="dopri5", time=0.5,
+                     tol_scale=100.0, stripe_fused=True, stripe_block_n=8,
+                     stripe_chunk=16, self_loop_weight=1.0)
+        g = prepare_graph(cfg, g0)
+        from graph_neural_pde_tpu.models.blocks import build_stripe_engine
+        g, plan = build_stripe_engine(cfg, g)
+        assert plan is not None
+        bp = init_block(jax.random.PRNGKey(0), cfg, d)
+        x = jnp.asarray(rng.normal(
+            size=(g.num_nodes, d)).astype(np.float32))
+
+        def loss(bp):
+            z, stats, _ = block_forward(bp, cfg, g, x, training=True,
+                                        stripe_plan=plan)
+            return jnp.sum(z ** 2)
+
+        val, grads = jax.value_and_grad(loss)(bp)
+        assert np.isfinite(float(val))
+        flat = jax.tree_util.tree_leaves(grads)
+        assert all(np.isfinite(np.asarray(l)).all() for l in flat)
+        assert any(np.abs(np.asarray(l)).max() > 0 for l in flat)
