@@ -77,6 +77,7 @@ def build_grand_l_cheby(g, num_features, num_classes, hidden=128, seed=0):
         function="laplacian", method="cheby", time=3.6760155951687636,
         hidden_dim=hidden, attention_dim=32, heads=2, self_loop_weight=1.0,
         add_source=False, input_dropout=0.0, dropout=0.0, max_nfe=1000,
+        stripe_fused=True, rhs_payload_dtype="bfloat16",
     )
     model = GNNModel(cfg, num_features, num_classes, g)
     params, state = model.init(jax.random.PRNGKey(seed))

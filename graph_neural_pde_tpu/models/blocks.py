@@ -87,13 +87,18 @@ def build_stripe_engine(cfg: Config, g: Graph):
     """Reorder a row-sorted graph into the stripe-plan slot layout and build
     the plan for the MXU row-gather/scatter kernels (ops/pallas/stripe.py).
 
-    Returns (g_stripe, plan | None). Applies when the fused attention RHS is
-    active (function transformer/GAT, attention_norm_idx 0) and
-    cfg.stripe_fused is set; node count pads to block_n (callers pad x)."""
-    if (not cfg.stripe_fused or not cfg.fused_attention_agg
-            or cfg.function not in ("transformer", "GAT") or cfg.mix_features
-            or cfg.attention_norm_idx != 0
-            or (cfg.beltrami and cfg.attention_type == "exp_kernel")):
+    Returns (g_stripe, plan | None). Applies when cfg.stripe_fused is set
+    and either the fused attention RHS is active (function transformer/GAT,
+    attention_norm_idx 0) or the function is the linear laplacian (whose
+    spmm routes through make_stripe_spmm); node count pads to block_n
+    (callers pad x)."""
+    fused_att = (cfg.fused_attention_agg
+                 and cfg.function in ("transformer", "GAT")
+                 and not cfg.mix_features and cfg.attention_norm_idx == 0
+                 and not (cfg.beltrami and cfg.attention_type == "exp_kernel"))
+    lap = (cfg.function == "laplacian"
+           and cfg.spmm_impl != "pallas_blocked")   # blocked engine owns it
+    if not cfg.stripe_fused or not (fused_att or lap):
         return g, None
     import numpy as np
     from graph_neural_pde_tpu.ops.pallas.stripe import build_stripe_plan

@@ -60,6 +60,17 @@ class GNNModel:
             build_spmm_engine, build_stripe_engine)
         self.graph, self.spmm_fn = build_spmm_engine(cfg, self.graph)
         self.graph, self.stripe_plan = build_stripe_engine(cfg, self.graph)
+        if (self.stripe_plan is not None and cfg.function == "laplacian"
+                and self.spmm_fn is None):
+            # route the laplacian aggregation (the only op of every tuned
+            # config's RHS, and the cheby solver's matvec) through the
+            # stripe MXU scatter
+            import jax.numpy as _jnp
+            from graph_neural_pde_tpu.ops.spmm import make_stripe_spmm
+            pay = (_jnp.bfloat16 if cfg.rhs_payload_dtype == "bfloat16"
+                   else None)
+            self.spmm_fn = make_stripe_spmm(self.graph, self.stripe_plan,
+                                            pay)
 
         # width bookkeeping (the reference mutates opt['hidden_dim'] at
         # base_classes.py:110-124; here the widths are explicit)

@@ -387,6 +387,71 @@ def _ss2_bwd(plan, _res, cts):
 stripe_scatter_add2.defvjp(_ss2_fwd, _ss2_bwd)
 
 
+def make_traced_scatter_add(block_n: int, chunk: int, num_nodes: int):
+    """Scatter-add whose plan arrays are TRACED operands (for shard_map:
+    per-shard plans arrive as sliced array arguments, which custom_vjp's
+    nondiff_argnums cannot hold). Index/mask arguments get zero cotangents;
+    callers must zero invalid slots of ``vals`` (their gradient contributions
+    there are multiplied by the same zeros upstream)."""
+
+    def _call(rl, cr, vals):
+        cap, d = vals.shape
+        nc = cr.shape[0]
+        interpret = not _on_tpu()
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nc,),
+            in_specs=[
+                pl.BlockSpec((chunk,), lambda i, cr_: (i,)),
+                pl.BlockSpec((chunk, d), lambda i, cr_: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((block_n, d), lambda i, cr_: (cr_[i], 0)),
+        )
+        kernel = functools.partial(_scatter_kernel, chunk=chunk,
+                                   block_n=block_n, dtype=jnp.bfloat16)
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((num_nodes, d), jnp.float32),
+            interpret=interpret,
+        )(cr, rl, vals)
+
+    def _gather_call(rl, cr, table):
+        d = table.shape[1]
+        nc = cr.shape[0]
+        interpret = not _on_tpu()
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nc,),
+            in_specs=[
+                pl.BlockSpec((chunk,), lambda i, cr_: (i,)),
+                pl.BlockSpec((block_n, d), lambda i, cr_: (cr_[i], 0)),
+            ],
+            out_specs=pl.BlockSpec((chunk, d), lambda i, cr_: (i, 0)),
+        )
+        kernel = functools.partial(_gather_kernel, chunk=chunk,
+                                   block_n=block_n, dtype=jnp.bfloat16)
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nc * chunk, d), jnp.float32),
+            interpret=interpret,
+        )(cr, rl, table)
+
+    @jax.custom_vjp
+    def scatter(rl, cr, vals):
+        return _call(rl, cr, vals)
+
+    def fwd(rl, cr, vals):
+        return _call(rl, cr, vals), (rl, cr)
+
+    def bwd(res, ct):
+        rl, cr = res
+        return (jnp.zeros_like(rl), jnp.zeros_like(cr),
+                _gather_call(rl, cr, ct))
+
+    scatter.defvjp(fwd, bwd)
+    return scatter
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def stripe_gather2(plan: StripePlan, t1: jax.Array, t2: jax.Array):
     """Differentiable (t1[row], t2[row]) in plan slot order."""

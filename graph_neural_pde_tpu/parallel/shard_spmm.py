@@ -48,3 +48,93 @@ def make_sharded_spmm(mesh: Mesh, g: Graph, axis_name: str = "edges"):
         return sharded(g.row, g.col, g.mask, x, w)
 
     return spmm_fn
+
+
+def make_sharded_stripe_spmm(mesh: Mesh, g: Graph, *, block_n: int = 128,
+                             chunk: int = 2048, axis_name: str = "edges",
+                             payload_dtype=None):
+    """Edge-sharded spmm whose per-shard aggregation runs the stripe MXU
+    kernel: each device owns a contiguous row-sorted slice of the edge list
+    with its OWN stripe plan (the plan arrays are stacked on a leading shard
+    axis and sliced by shard_map — StripePlan is a pytree, so traced plan
+    arrays flow straight into the kernel's scalar-prefetch operands), and one
+    psum over ICI merges the per-node partials.
+
+    This is the multi-chip form of ops.spmm.make_stripe_spmm: the per-edge
+    latency-bound work (the x[col] gather) and the MXU scatter both scale
+    linearly with mesh size; the psum moves [N, D] per step over ICI.
+    """
+    import numpy as np
+    from graph_neural_pde_tpu.ops.pallas.stripe import (
+        build_stripe_plan, make_traced_scatter_add)
+
+    n_dev = mesh.devices.size
+    m = np.asarray(g.mask)
+    r = np.asarray(g.row)
+    c = np.asarray(g.col)
+    idx = np.where(m)[0]                         # valid edges, row-sorted
+    bounds = np.linspace(0, len(idx), n_dev + 1).astype(int)
+
+    plans, cols, perms = [], [], []
+    for s in range(n_dev):
+        sl = idx[bounds[s]:bounds[s + 1]]
+        p = build_stripe_plan(r[sl], num_nodes=g.num_nodes, block_n=block_n,
+                              chunk=chunk)
+        col_s = np.zeros(p.capacity, np.int32)
+        col_s[p.slot_of_edge] = c[sl]
+        perm_s = np.zeros(p.capacity, np.int32)   # slot -> original edge id
+        perm_s[p.slot_of_edge] = sl
+        plans.append(p)
+        cols.append(col_s)
+        perms.append(perm_s)
+
+    nc_max = max(p.n_chunks for p in plans)
+    cap = nc_max * chunk
+
+    def pad_plan(p, col_s, perm_s):
+        extra = cap - p.capacity
+        rl = np.concatenate([p.row_local, np.zeros(extra, np.int32)])
+        vd = np.concatenate([p.valid, np.zeros(extra, bool)])
+        # padded chunks repeat the LAST chunk's block id: the revisit check
+        # sees no block change, so they add zeros instead of re-zeroing a
+        # block that already accumulated values
+        cr = np.concatenate([p.chunk_rows,
+                             np.full(nc_max - p.n_chunks,
+                                     p.chunk_rows[-1], np.int32)])
+        cs = np.concatenate([col_s, np.zeros(extra, np.int32)])
+        ps = np.concatenate([perm_s, np.zeros(extra, np.int32)])
+        return rl, vd, cr, cs, ps
+
+    padded = [pad_plan(p, cs, ps) for p, cs, ps in zip(plans, cols, perms)]
+    rl_st = jnp.asarray(np.stack([x[0] for x in padded]))
+    vd_st = jnp.asarray(np.stack([x[1] for x in padded]))
+    cr_st = jnp.asarray(np.stack([x[2] for x in padded]))
+    col_st = jnp.asarray(np.stack([x[3] for x in padded]))
+    perm_st = jnp.asarray(np.stack([x[4] for x in padded]))
+    n_pad = plans[0].num_nodes
+
+    scatter = make_traced_scatter_add(block_n, chunk, n_pad)
+
+    def _shard_body(rl, vd, cr, col_l, perm_l, x, w):
+        xd = x if payload_dtype is None else x.astype(payload_dtype)
+        w_local = jnp.where(vd[0], w[perm_l[0]], 0.0)
+        vals = xd[col_l[0]] * w_local[:, None].astype(xd.dtype)
+        partial_sum = scatter(rl[0], cr[0], vals)
+        return jax.lax.psum(partial_sum, axis_name)
+
+    sharded = shard_map(
+        _shard_body, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name),
+                  P(axis_name), P(), P()),
+        out_specs=P(),
+        # pallas_call can't declare its varying-mesh-axes, so replication
+        # checking must be off inside this body
+        check_rep=False)
+
+    def spmm_fn(x, w):
+        n = x.shape[0]
+        if n < n_pad:
+            x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+        return sharded(rl_st, vd_st, cr_st, col_st, perm_st, x, w)[:n]
+
+    return spmm_fn
