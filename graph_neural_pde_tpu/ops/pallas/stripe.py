@@ -92,6 +92,19 @@ def build_stripe_plan(row, mask=None, *, num_nodes: int, block_n: int = 1024,
     r = row[idx]
     assert (np.diff(r) >= 0).all(), "rows must be sorted (Graph.sort_by_row)"
 
+    # native planner (runtime/graphcore.cpp) — same layout, C++ speed for
+    # very large edge lists; the numpy path below is the reference/fallback
+    from graph_neural_pde_tpu import runtime as _rt
+    native = _rt.build_stripe_plan_native(r, num_nodes, block_n, chunk)
+    if native is not None:
+        row_local, valid, chunk_rows, slot_sub, node_degree, n_pad = native
+        slot_of_edge = np.zeros(e_in, np.int32)
+        slot_of_edge[idx] = slot_sub
+        return StripePlan(row_local=row_local, valid=valid,
+                          chunk_rows=chunk_rows, slot_of_edge=slot_of_edge,
+                          node_degree=node_degree, block_n=block_n,
+                          chunk=chunk, num_nodes=n_pad)
+
     n_pad = ((num_nodes + block_n - 1) // block_n) * block_n
     nblocks = n_pad // block_n
     rb = r // block_n

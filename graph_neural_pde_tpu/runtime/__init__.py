@@ -51,6 +51,11 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.gc_random_walks.argtypes = [i32p, i32p, i64, i64, i32, i32, u64, i32p]
     lib.gc_plan_count.restype = i64
     lib.gc_plan_count.argtypes = [i32p, i32p, i64, i64, i32, i32]
+    lib.gc_stripe_count.restype = i64
+    lib.gc_stripe_count.argtypes = [i32p, i64, i64, i32, i32]
+    lib.gc_stripe_fill.restype = None
+    lib.gc_stripe_fill.argtypes = [i32p, i64, i64, i32, i32,
+                                   i32p, u8p, i32p, i32p, i32p]
     lib.gc_plan_fill.restype = None
     lib.gc_plan_fill.argtypes = [i32p, i32p, f32p, i64, i64, i32, i32,
                                  i32p, i32p, f32p, u8p, i32p, i32p, i64p,
@@ -172,3 +177,32 @@ def build_block_plan_native(row, col, weight, num_nodes: int, block_n: int,
         _ptr(chunk_cols, ctypes.c_int32))
     return (row_l, col_l, w_out, valid.astype(bool), row_g, col_g, tags,
             chunk_rows, chunk_cols, n_pad)
+
+
+def build_stripe_plan_native(row_sorted: np.ndarray, num_nodes: int,
+                             block_n: int, chunk: int):
+    """Native stripe-plan arrays (ops/pallas/stripe.build_stripe_plan's
+    layout) or None when the library is unavailable. ``row_sorted`` must be
+    the VALID edges' rows, ascending."""
+    lib = _load()
+    if lib is None:
+        return None
+    row = np.ascontiguousarray(row_sorted, np.int32)
+    e = row.shape[0]
+    n_pad = ((num_nodes + block_n - 1) // block_n) * block_n
+    nc = lib.gc_stripe_count(_ptr(row, ctypes.c_int32), e, num_nodes,
+                             block_n, chunk)
+    cap = nc * chunk
+    row_local = np.empty(cap, np.int32)
+    valid = np.empty(cap, np.uint8)
+    chunk_rows = np.empty(nc, np.int32)
+    slot_of_edge = np.empty(e, np.int32)
+    node_degree = np.empty(n_pad, np.int32)
+    lib.gc_stripe_fill(_ptr(row, ctypes.c_int32), e, num_nodes, block_n,
+                       chunk, _ptr(row_local, ctypes.c_int32),
+                       _ptr(valid, ctypes.c_uint8),
+                       _ptr(chunk_rows, ctypes.c_int32),
+                       _ptr(slot_of_edge, ctypes.c_int32),
+                       _ptr(node_degree, ctypes.c_int32))
+    return (row_local, valid.astype(bool), chunk_rows, slot_of_edge,
+            node_degree, n_pad)

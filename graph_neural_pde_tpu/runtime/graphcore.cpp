@@ -234,4 +234,63 @@ void gc_plan_fill(const int32_t* row, const int32_t* col, const float* weight,
     }
 }
 
+// ---------------------------------------------------------------------------
+// stripe plan (ops/pallas/stripe.py): chunks of row-sorted edges that never
+// cross node-block boundaries — the host-side planner for the MXU
+// gather/scatter kernels. row must be sorted ascending over the e entries.
+// ---------------------------------------------------------------------------
+
+int64_t gc_stripe_count(const int32_t* row, int64_t e, int64_t n,
+                        int32_t block_n, int32_t chunk) {
+    int64_t n_pad = ((n + block_n - 1) / block_n) * (int64_t)block_n;
+    int64_t nblocks = n_pad / block_n;
+    int64_t nc = 0, i = 0;
+    for (int64_t b = 0; b < nblocks; ++b) {
+        int64_t lo = i;
+        int64_t hi_row = (b + 1) * (int64_t)block_n;
+        while (i < e && row[i] < hi_row) ++i;
+        int64_t cnt = i - lo;
+        nc += cnt == 0 ? 1 : (cnt + chunk - 1) / chunk;
+    }
+    return nc;
+}
+
+void gc_stripe_fill(const int32_t* row, int64_t e, int64_t n,
+                    int32_t block_n, int32_t chunk,
+                    int32_t* row_local, uint8_t* valid, int32_t* chunk_rows,
+                    int32_t* slot_of_edge, int32_t* node_degree) {
+    int64_t n_pad = ((n + block_n - 1) / block_n) * (int64_t)block_n;
+    int64_t nblocks = n_pad / block_n;
+    for (int64_t v = 0; v < n_pad; ++v) node_degree[v] = 0;
+    int64_t i = 0, ci = 0;
+    for (int64_t b = 0; b < nblocks; ++b) {
+        int64_t lo = i;
+        int64_t hi_row = (b + 1) * (int64_t)block_n;
+        while (i < e && row[i] < hi_row) ++i;
+        int64_t cnt = i - lo;
+        int64_t pc = cnt == 0 ? 1 : (cnt + chunk - 1) / chunk;
+        for (int64_t j = 0; j < pc; ++j) {
+            chunk_rows[ci] = (int32_t)b;
+            int64_t base = ci * (int64_t)chunk;
+            int64_t s0 = lo + j * chunk;
+            int64_t nv = cnt - j * (int64_t)chunk;
+            if (nv > chunk) nv = chunk;
+            if (nv < 0) nv = 0;
+            for (int64_t s = 0; s < chunk; ++s) {
+                if (s < nv) {
+                    int64_t src = s0 + s;
+                    row_local[base + s] = row[src] - (int32_t)(b * block_n);
+                    valid[base + s] = 1;
+                    slot_of_edge[src] = (int32_t)(base + s);
+                    node_degree[row[src]]++;
+                } else {
+                    row_local[base + s] = 0;
+                    valid[base + s] = 0;
+                }
+            }
+            ++ci;
+        }
+    }
+}
+
 }  // extern "C"

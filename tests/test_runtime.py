@@ -114,3 +114,35 @@ class TestNativePlan:
         dense = np.zeros((plan.num_nodes, plan.num_nodes), np.float32)
         np.add.at(dense, (row, col), w)
         np.testing.assert_allclose(got, dense @ x, rtol=1e-4, atol=1e-4)
+
+
+class TestNativeStripePlan:
+    def test_native_matches_numpy_builder(self):
+        """gc_stripe_count/fill produce the exact numpy-planner layout."""
+        from graph_neural_pde_tpu import runtime
+        from graph_neural_pde_tpu.ops.pallas import stripe
+        if not runtime.available():
+            import pytest
+            pytest.skip("native runtime unavailable")
+        rng = np.random.default_rng(0)
+        n, e = 101, 700
+        row = np.sort(rng.integers(0, n, e).astype(np.int32))
+        mask = rng.random(e) < 0.9
+        # force the numpy path by monkeypatching the native hook
+        import graph_neural_pde_tpu.runtime as rt
+        native = stripe.build_stripe_plan(row, mask, num_nodes=n,
+                                          block_n=16, chunk=32)
+        orig = rt.build_stripe_plan_native
+        try:
+            rt.build_stripe_plan_native = lambda *a, **k: None
+            ref = stripe.build_stripe_plan(row, mask, num_nodes=n,
+                                           block_n=16, chunk=32)
+        finally:
+            rt.build_stripe_plan_native = orig
+        np.testing.assert_array_equal(native.row_local, ref.row_local)
+        np.testing.assert_array_equal(native.valid, ref.valid)
+        np.testing.assert_array_equal(native.chunk_rows, ref.chunk_rows)
+        np.testing.assert_array_equal(native.slot_of_edge[mask],
+                                      ref.slot_of_edge[mask])
+        np.testing.assert_array_equal(native.node_degree, ref.node_degree)
+        assert native.num_nodes == ref.num_nodes
