@@ -150,3 +150,30 @@ class TestStripeSpmm:
         l2, _, _, _ = m2.apply(p, s, ds.x, training=False)
         scale = float(jnp.abs(l2).max()) + 1e-9
         assert float(jnp.abs(l1 - l2).max()) / scale < 3e-2
+
+    def test_hard_attention_with_stripe_laplacian(self):
+        """Tuned Computers/Photo/arxiv shape: hard_attention block +
+        laplacian function, stripe engine on vs off (dropped edges carry
+        zero weights, so the static-mask stripe scatter stays exact)."""
+        import jax
+        from graph_neural_pde_tpu.config import Config
+        from graph_neural_pde_tpu.data.synthetic import make_sbm_dataset
+        from graph_neural_pde_tpu.models.gnn import GNNModel
+        ds = make_sbm_dataset(num_nodes=60, num_classes=3, num_features=8,
+                              seed=13)
+        cfg = Config(function="laplacian", block="hard_attention",
+                     att_samp_pct=0.6, hidden_dim=8, attention_dim=8,
+                     heads=2, method="rk4", step_size=0.5, time=1.0,
+                     input_dropout=0.0, dropout=0.0, stripe_fused=True,
+                     stripe_block_n=8, stripe_chunk=16, self_loop_weight=1.0)
+        m1 = GNNModel(cfg, ds.num_features, ds.num_classes, ds.graph)
+        m2 = GNNModel(cfg.replace(stripe_fused=False), ds.num_features,
+                      ds.num_classes, ds.graph)
+        assert m1.spmm_fn is not None
+        p, s = m1.init(jax.random.PRNGKey(0))
+        l1, _, _, _ = m1.apply(p, s, ds.x, training=True,
+                               rng=jax.random.PRNGKey(1))
+        l2, _, _, _ = m2.apply(p, s, ds.x, training=True,
+                               rng=jax.random.PRNGKey(1))
+        scale = float(jnp.abs(l2).max()) + 1e-9
+        assert float(jnp.abs(l1 - l2).max()) / scale < 3e-2
