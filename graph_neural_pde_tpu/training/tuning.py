@@ -447,9 +447,19 @@ def _main():
     p.add_argument("--num_splits", type=int, default=1)
     p.add_argument("--checkpoint_dir", default="./sweeps")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--adjoint", action="store_true",
+                   help="sweep adjoint-gradient configs (required for the "
+                        "Pubmed space, ray_tune.py:280)")
+    p.add_argument("--block", default=None)
+    p.add_argument("--function", default=None)
+    p.add_argument("--rewiring", default=None)
     args = p.parse_args()
 
-    base = Config(dataset=args.dataset)
+    over = {k: v for k, v in (("adjoint", args.adjoint or None),
+                              ("block", args.block),
+                              ("function", args.function),
+                              ("rewiring", args.rewiring)) if v is not None}
+    base = Config(dataset=args.dataset, **over)
     ds = get_dataset(base, args.data_dir)
     trials = run_sweep(base, ds, num_samples=args.num_samples,
                        max_epochs=args.max_epochs,
