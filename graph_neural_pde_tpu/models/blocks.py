@@ -69,6 +69,11 @@ def build_spmm_engine(cfg: Config, g: Graph):
     the one-hot MXU kernels (see ops/pallas) — block-local graphs only."""
     if cfg.spmm_impl != "pallas_blocked" or cfg.function != "laplacian":
         return g, None
+    if cfg.rewire_KNN or cfg.edge_sampling or cfg.fa_layer:
+        import sys
+        print("[spmm] pallas_blocked disabled: runtime rewiring would stale "
+              "the static block plan", file=sys.stderr)
+        return g, None
     import numpy as np
     from graph_neural_pde_tpu.ops.pallas.spmm_blocked import (
         make_plan_pair, make_spmm)
@@ -99,6 +104,15 @@ def build_stripe_engine(cfg: Config, g: Graph):
     lap = (cfg.function == "laplacian"
            and cfg.spmm_impl != "pallas_blocked")   # blocked engine owns it
     if not cfg.stripe_fused or not (fused_att or lap):
+        return g, None
+    if cfg.rewire_KNN or cfg.edge_sampling or cfg.fa_layer:
+        # the plan's index arrays are trace-time constants; between-epoch
+        # graph surgery swaps the (traced) graph arrays underneath a compiled
+        # step and would leave a silently stale plan — keep the XLA engine
+        import sys
+        print("[stripe] stripe_fused disabled: runtime rewiring "
+              "(rewire_KNN/edge_sampling/fa_layer) would stale the static "
+              "stripe plan", file=sys.stderr)
         return g, None
     import numpy as np
     from graph_neural_pde_tpu.ops.pallas.stripe import build_stripe_plan

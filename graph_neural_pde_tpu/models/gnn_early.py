@@ -49,7 +49,12 @@ class GNNEarlyModel(GNNModel):
             x0 = jnp.pad(x0, ((0, g.num_nodes - n), (0, 0)))
 
         aux, g_run = build_aux(params["block"], cfg, g, x0, training=False)
-        rhs = make_rhs(cfg, g_run)
+        # the model's engines belong to self.graph; a graph override must
+        # fall back to the XLA path
+        rhs = make_rhs(cfg, g_run,
+                       spmm_fn=self.spmm_fn if graph is None else None,
+                       stripe_plan=(self.stripe_plan if graph is None
+                                    else None))
 
         def func(p, t, yy):
             return rhs(p["f"], p["aux"], t, yy)
