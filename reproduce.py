@@ -78,6 +78,7 @@ def run_one(name: str, data_dir: str, reps: int, epochs: int | None,
                   f"test {best['test_acc']:.4f} ({time.time()-t0:.0f}s, "
                   f"nfe/epoch {logs[-1].fwd_nfe})")
     return {"dataset": name, "real_data": real_data,
+            "epochs": epochs or cfg.epoch, "reps": reps,
             "val": aggregate_runs(vals), "test": aggregate_runs(tests)}
 
 

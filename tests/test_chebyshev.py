@@ -143,3 +143,29 @@ class TestChebyEarlyStop:
             (dataset.train_mask, dataset.val_mask, dataset.test_mask))
         assert np.isfinite(np.asarray(logits)).all()
         assert 0.0 <= float(best.val) <= 1.0
+
+
+class TestChebyWithStripeEngine:
+    def test_cheby_stripe_matches_xla(self):
+        """method='cheby' solving through the stripe spmm engine == XLA."""
+        import jax
+        from graph_neural_pde_tpu.config import Config
+        from graph_neural_pde_tpu.data.synthetic import make_sbm_dataset
+        from graph_neural_pde_tpu.models.gnn import GNNModel
+        ds = make_sbm_dataset(num_nodes=40, num_classes=3, num_features=8,
+                              seed=17)
+        cfg = Config(function="laplacian", block="attention", method="cheby",
+                     hidden_dim=8, attention_dim=8, heads=2, time=2.0,
+                     input_dropout=0.0, dropout=0.0, stripe_fused=True,
+                     stripe_block_n=8, stripe_chunk=16, self_loop_weight=1.0)
+        m1 = GNNModel(cfg, ds.num_features, ds.num_classes, ds.graph)
+        m2 = GNNModel(cfg.replace(stripe_fused=False), ds.num_features,
+                      ds.num_classes, ds.graph)
+        assert m1.spmm_fn is not None
+        p, s = m1.init(jax.random.PRNGKey(0))
+        l1, _, st1, _ = m1.apply(p, s, ds.x, training=False)
+        l2, _, st2, _ = m2.apply(p, s, ds.x, training=False)
+        assert int(st1["nfe"]) == int(st2["nfe"])
+        import jax.numpy as jnp
+        scale = float(jnp.abs(l2).max()) + 1e-9
+        assert float(jnp.abs(l1 - l2).max()) / scale < 3e-2
