@@ -347,9 +347,18 @@ def get_dataset(cfg: Config, data_dir: str, use_lcc: bool = False, *,
     """Load + preprocess a dataset (get_dataset semantics, data.py:34-103)."""
     ds = cfg.dataset
     pad = edge_pad_multiple or cfg.edge_pad_multiple
+
+    # processed-array cache: raw parsing (especially OGB's csv.gz via
+    # numpy.loadtxt) costs minutes; the second load reads one npz
+    cache = os.path.join(data_dir, "processed_npz", f"{ds}.npz")
     try:
         masks = None
-        if ds in ("Cora", "Citeseer", "Pubmed"):
+        if os.path.exists(cache):
+            with np.load(cache) as f:
+                x, y, ei = f["x"], f["y"], f["ei"]
+                if "train_mask" in f:
+                    masks = (f["train_mask"], f["val_mask"], f["test_mask"])
+        elif ds in ("Cora", "Citeseer", "Pubmed"):
             x, y, ei, tm, vm, sm = load_planetoid(data_dir, ds)
             masks = (tm, vm, sm)
         elif ds in ("Computers", "Photo"):
@@ -379,6 +388,17 @@ def get_dataset(cfg: Config, data_dir: str, use_lcc: bool = False, *,
         if cfg.rewiring is not None:
             d.graph = rewire(d.graph, cfg, data_dir)
         return d
+
+    if not os.path.exists(cache):
+        try:
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            payload = {"x": x, "y": y, "ei": ei}
+            if masks is not None:
+                payload.update(train_mask=masks[0], val_mask=masks[1],
+                               test_mask=masks[2])
+            np.savez(cache, **payload)
+        except OSError:
+            pass   # read-only data_dir: caching is best-effort
 
     if use_lcc:
         lcc = largest_connected_component(ei, x.shape[0])

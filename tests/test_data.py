@@ -142,3 +142,45 @@ class TestFallback:
         cfg = Config(dataset="Citeseer")
         with pytest.raises(FileNotFoundError):
             get_dataset(cfg, str(tmp_path), synthetic_fallback=False)
+
+
+class TestProcessedCache:
+    def test_second_load_reads_cache(self, tmp_path):
+        """Raw planetoid parse once; second get_dataset hits the npz cache."""
+        import pickle
+        import scipy.sparse as sp
+        from graph_neural_pde_tpu.config import Config
+        from graph_neural_pde_tpu.data.datasets import get_dataset
+
+        # craft a tiny raw planetoid layout
+        rng = np.random.default_rng(0)
+        n_tr, n_te, n_all, f, c = 4, 3, 8, 5, 2
+        raw = tmp_path / "Cora" / "raw"
+        raw.mkdir(parents=True)
+
+        def dump(name, obj):
+            with open(raw / f"ind.cora.{name}", "wb") as fh:
+                pickle.dump(obj, fh)
+
+        x_tr = sp.csr_matrix(rng.random((n_tr, f)).astype(np.float32))
+        allx = sp.csr_matrix(rng.random((n_all, f)).astype(np.float32))
+        tx = sp.csr_matrix(rng.random((n_te, f)).astype(np.float32))
+        y_oh = np.eye(c)[rng.integers(0, c, n_tr)]
+        ally = np.eye(c)[rng.integers(0, c, n_all)]
+        ty = np.eye(c)[rng.integers(0, c, n_te)]
+        graph = {i: [(i + 1) % (n_all + n_te)] for i in range(n_all + n_te)}
+        dump("x", x_tr); dump("tx", tx); dump("allx", allx)
+        dump("y", y_oh); dump("ty", ty); dump("ally", ally)
+        dump("graph", graph)
+        with open(raw / "ind.cora.test.index", "w") as fh:
+            fh.write("\n".join(str(n_all + i) for i in range(n_te)))
+
+        cfg = Config(dataset="Cora", edge_pad_multiple=4)
+        d1 = get_dataset(cfg, str(tmp_path), synthetic_fallback=False)
+        cache = tmp_path / "processed_npz" / "Cora.npz"
+        assert cache.exists()
+        d2 = get_dataset(cfg, str(tmp_path), synthetic_fallback=False)
+        np.testing.assert_array_equal(np.asarray(d1.x), np.asarray(d2.x))
+        np.testing.assert_array_equal(np.asarray(d1.y), np.asarray(d2.y))
+        np.testing.assert_array_equal(np.asarray(d1.train_mask),
+                                      np.asarray(d2.train_mask))
