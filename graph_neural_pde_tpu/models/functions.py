@@ -113,12 +113,16 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
     if use_mega:
         from graph_neural_pde_tpu.models.layers import linear_apply as _lin2
         from graph_neural_pde_tpu.ops.pallas.fused_rhs import (
-            fused_rhs_aggregate, fused_score_max)
+            fused_rhs_aggregate)
 
         q = _lin2(ap["Q"], x)
         x_g = x.astype(pay_dt)[g.col]
-        gmax = jax.lax.stop_gradient(fused_score_max(
-            stripe_plan, q, ap["K"]["w"], ap["K"]["b"], h, x_g))
+        # softmax is shift-invariant, so NO max pass is needed: exp runs
+        # unshifted (exact while scores stay within f32's ±88 exp range) and
+        # the guard below catches both failure modes — a whole segment
+        # underflowing to 0 OR any score overflowing to inf — and reruns the
+        # exact per-segment composition for that evaluation.
+        gmax = jnp.zeros((), x.dtype)
         num, den = fused_rhs_aggregate(stripe_plan, h, False, q,
                                        ap["K"]["w"], ap["K"]["b"], x_g, gmax)
         num = num.reshape(g.num_nodes, h, d)
@@ -128,8 +132,6 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
             return jnp.mean(num / (den_h[:, :, None] + 1e-16), axis=1)
 
         def exact(_):
-            # a whole segment's exp underflowed under the global shift:
-            # recompute with the exact per-segment softmax composition
             from graph_neural_pde_tpu.ops.scatter import segment_softmax
             src = q[g.row].reshape(-1, h, d_k)
             dst = (x_g.astype(x.dtype) @ ap["K"]["w"]
@@ -141,8 +143,9 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
                                                stripe_plan)
 
         deg = jnp.asarray(stripe_plan.node_degree)
-        underflowed = jnp.any((den_h <= 0.0) & (deg[:, None] > 0))
-        ax = jax.lax.cond(underflowed, exact, divide, None)
+        bad = jnp.any(((den_h <= 0.0) & (deg[:, None] > 0))
+                      | ~jnp.isfinite(den_h))
+        ax = jax.lax.cond(bad, exact, divide, None)
         f = _alpha(cfg, fparams) * (ax - x)
         return _source(cfg, fparams, f, aux)
 

@@ -427,3 +427,22 @@ class TestMegaKernelGradients:
         flat = jax.tree_util.tree_leaves(grads)
         assert all(np.isfinite(np.asarray(l)).all() for l in flat)
         assert any(np.abs(np.asarray(l)).max() > 0 for l in flat)
+
+    def test_overflow_guard_reruns_exact(self):
+        """Scores beyond f32's exp range: the inf guard must recover the
+        exact per-segment softmax (no max pass is run on the mega path)."""
+        cfg, g3, plan, x, params, aux = self._setup()
+        params = dict(params)
+        params["att"] = dict(params["att"])
+        params["att"]["Q"] = {k: v * 40.0 for k, v in
+                              params["att"]["Q"].items()}
+        n = g3.num_nodes
+        xp = jnp.pad(x * 3.0, ((0, n - x.shape[0]), (0, 0)))
+        aux = aux._replace(edge_weight=g3.weight, x0=xp)
+        rhs_mega = make_rhs(cfg, g3, stripe_plan=plan)
+        rhs_ref = make_rhs(cfg.replace(stripe_fused=False), g3)
+        f1 = np.asarray(jax.jit(rhs_mega)(params, aux, 0.0, xp))
+        f2 = np.asarray(rhs_ref(params, aux, 0.0, xp))
+        assert np.isfinite(f1).all()
+        scale = np.abs(f2).max() + 1e-9
+        assert np.abs(f1 - f2).max() / scale < 3e-2
