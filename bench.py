@@ -13,13 +13,24 @@ estimate of the reference stack (torchdiffeq + torch_sparse + PyG
 scatter-softmax) on a V100-class GPU: ~1.3 GB of gather traffic + scatter
 atomics + two score gathers + scatter softmax per RHS eval ≈ 15-25 ms at
 2.5M edges. The reference publishes no numbers (BASELINE.md), so this is the
-fairest stand-in we can state; single-chip TPU sparse ops are index-latency
-bound (~10 ns/edge/op), and the framework's path to the ≥10× target is the
-edge-sharded multi-chip design (latency-bound work scales linearly with
-chips) plus the Chebyshev expm solver (5-20× fewer matvecs per solve on
-every tuned config — see solvers/chebyshev.py).
+fairest stand-in we can state.
 
-Prints ONE JSON line to stdout.
+Round-2 engine (PARITY.md has the measured roofline): ONE 128-aligned bf16
+gather of x[col] is the only random-access op per RHS evaluation; the
+row-side q gather, per-edge K projection, scaled-dot scores, exp and both
+softmax aggregates run in a single Mosaic kernel (ops/pallas/fused_rhs.py)
+over a row-stripe plan, with bf16 ODE state on the fixed grid. Measured
+progression on one v5e at this scale: 13.6M (naive XLA) → 25.2M (round-1
+fused composition) → 42.4M (aligned column side) → 58.2M (bf16 payloads) →
+88M+ (one-pass kernel) edge·NFE/s. The remaining distance to the ≥10×-GPU
+target is the irreducible random gather (~5 ns/edge): the levers past it are
+the edge-sharded multi-chip design (latency-bound work scales linearly with
+chips; see parallel/shard_spmm.make_sharded_stripe_spmm) and the Chebyshev
+expm solver reported as the secondary metric (exact solve of every tuned —
+linear — config at ~⌈1.4T⌉+30 matvecs instead of hundreds of NFE).
+
+Before timing, every Mosaic kernel is verified against an on-device oracle
+(verify_kernels_on_device). Prints ONE JSON line to stdout.
 """
 
 import json

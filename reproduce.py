@@ -77,8 +77,13 @@ def run_one(name: str, data_dir: str, reps: int, epochs: int | None,
             print(f"  {name} rep {rep}: val {best['val_acc']:.4f} "
                   f"test {best['test_acc']:.4f} ({time.time()-t0:.0f}s, "
                   f"nfe/epoch {logs[-1].fwd_nfe})")
+    # stiff-on-synthetic diagnostic: a capped solve (hit max_nfe) is a
+    # degraded solve — the tuned diffusion times were tuned on the REAL
+    # graphs, and the SBM stand-in can be stiffer
+    nfe_capped = bool(logs and logs[-1].fwd_nfe >= cfg.max_nfe)
     return {"dataset": name, "real_data": real_data,
             "epochs": epochs or cfg.epoch, "reps": reps,
+            "nfe_capped": nfe_capped,
             "val": aggregate_runs(vals), "test": aggregate_runs(tests)}
 
 
