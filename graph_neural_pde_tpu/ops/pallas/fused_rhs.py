@@ -235,27 +235,10 @@ def _fused_score_max_impl(plan: StripePlan, q, kw, kb, *, heads: int, x_g,
     return jnp.where(jnp.isfinite(gmax), gmax, 0.0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4))
-def fused_score_max(plan: StripePlan, q, kw, kb, heads: int, x_g):
-    """Differentiation-opaque wrapper: the shift is a constant (softmax is
-    shift-invariant, so its cotangent is identically zero); the custom_vjp
-    also keeps interpret-mode pallas (which cannot be linearised with
-    scalar-prefetch operands) out of AD tracing."""
-    return _fused_score_max_impl(plan, q, kw, kb, heads=heads, x_g=x_g)
-
-
-def _fsm_fwd(plan, q, kw, kb, heads, x_g):
-    return _fused_score_max_impl(plan, q, kw, kb, heads=heads, x_g=x_g), (
-        q, kw, kb, x_g)
-
-
-def _fsm_bwd(plan, heads, res, ct):
-    q, kw, kb, x_g = res
-    zero = jax.tree_util.tree_map(jnp.zeros_like, (q, kw, kb, x_g))
-    return zero
-
-
-fused_score_max.defvjp(_fsm_fwd, _fsm_bwd)
+# NOTE: the RHS no longer runs a max pass (softmax is shift-invariant, so it
+# integrates with gmax=0 and an inf/underflow guard); _fused_score_max_impl
+# stays as the on-device verification oracle's shift source (bench.py) and
+# for a future squareplus mega path, which needs the true global max.
 
 
 def _scores_u(plan, q, kw, kb, x_g, gmax, heads, square_plus):
