@@ -122,7 +122,7 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
         # the guard below catches both failure modes — a whole segment
         # underflowing to 0 OR any score overflowing to inf — and reruns the
         # exact per-segment composition for that evaluation.
-        gmax = jnp.zeros((), x.dtype)
+        gmax = jnp.zeros((), jnp.float32)   # f32: its cotangent is f32
         num, den = fused_rhs_aggregate(stripe_plan, h, False, q,
                                        ap["K"]["w"], ap["K"]["b"], x_g, gmax)
         num = num.reshape(g.num_nodes, h, d)

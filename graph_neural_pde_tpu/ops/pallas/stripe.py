@@ -243,11 +243,11 @@ def stripe_gather(plan: StripePlan, table: jax.Array) -> jax.Array:
 
 
 def _sg_fwd(plan, table):
-    return _stripe_gather_call(plan, table), None
+    return _stripe_gather_call(plan, table), jnp.zeros((0,), table.dtype)
 
 
-def _sg_bwd(plan, _res, ct):
-    return (_stripe_scatter_call(plan, ct),)
+def _sg_bwd(plan, dt, ct):
+    return (_stripe_scatter_call(plan, ct).astype(dt.dtype),)
 
 
 stripe_gather.defvjp(_sg_fwd, _sg_bwd)
@@ -260,13 +260,14 @@ def stripe_scatter_add(plan: StripePlan, vals: jax.Array) -> jax.Array:
 
 
 def _ss_fwd(plan, vals):
-    return _stripe_scatter_call(plan, vals), None
+    return _stripe_scatter_call(plan, vals), jnp.zeros((0,), vals.dtype)
 
 
-def _ss_bwd(plan, _res, ct):
+def _ss_bwd(plan, dt, ct):
     # mask the gathered cotangent so padding slots stay grad-free
     g = _stripe_gather_call(plan, ct)
-    return (g * jnp.asarray(plan.valid, g.dtype)[:, None],)
+    return ((g * jnp.asarray(plan.valid, g.dtype)[:, None])
+            .astype(dt.dtype),)
 
 
 stripe_scatter_add.defvjp(_ss_fwd, _ss_bwd)
@@ -387,20 +388,22 @@ def stripe_scatter_add2(plan: StripePlan, vals: jax.Array, u: jax.Array):
 
 
 def _ss2_fwd(plan, vals, u):
-    return _stripe_scatter2_call(plan, vals, u), None
+    return _stripe_scatter2_call(plan, vals, u), (
+        jnp.zeros((0,), vals.dtype), jnp.zeros((0,), u.dtype))
 
 
-def _ss2_bwd(plan, _res, cts):
+def _ss2_bwd(plan, dts, cts):
     ct_num, ct_den = cts
     gv, gu = _stripe_gather2_call(plan, ct_num, ct_den)
     m = jnp.asarray(plan.valid, gv.dtype)[:, None]
-    return (gv * m, gu * m)
+    return ((gv * m).astype(dts[0].dtype), (gu * m).astype(dts[1].dtype))
 
 
 stripe_scatter_add2.defvjp(_ss2_fwd, _ss2_bwd)
 
 
-def make_traced_scatter_add(block_n: int, chunk: int, num_nodes: int):
+def make_traced_scatter_add(block_n: int, chunk: int, num_nodes: int,
+                            vals_dtype=jnp.float32):
     """Scatter-add whose plan arrays are TRACED operands (for shard_map:
     per-shard plans arrive as sliced array arguments, which custom_vjp's
     nondiff_argnums cannot hold). Index/mask arguments get zero cotangents;
@@ -457,9 +460,11 @@ def make_traced_scatter_add(block_n: int, chunk: int, num_nodes: int):
         return _call(rl, cr, vals), (rl, cr)
 
     def bwd(res, ct):
+        # ``vals_dtype`` is a factory-time constant: residuals created inside
+        # a shard_map body cannot carry fresh (replicated) arrays
         rl, cr = res
         return (jnp.zeros_like(rl), jnp.zeros_like(cr),
-                _gather_call(rl, cr, ct))
+                _gather_call(rl, cr, ct).astype(vals_dtype))
 
     scatter.defvjp(fwd, bwd)
     return scatter
@@ -472,11 +477,13 @@ def stripe_gather2(plan: StripePlan, t1: jax.Array, t2: jax.Array):
 
 
 def _sg2_fwd(plan, t1, t2):
-    return _stripe_gather2_call(plan, t1, t2), None
+    return _stripe_gather2_call(plan, t1, t2), (
+        jnp.zeros((0,), t1.dtype), jnp.zeros((0,), t2.dtype))
 
 
-def _sg2_bwd(plan, _res, cts):
-    return _stripe_scatter2_call(plan, cts[0], cts[1])
+def _sg2_bwd(plan, dts, cts):
+    o1, o2 = _stripe_scatter2_call(plan, cts[0], cts[1])
+    return (o1.astype(dts[0].dtype), o2.astype(dts[1].dtype))
 
 
 stripe_gather2.defvjp(_sg2_fwd, _sg2_bwd)

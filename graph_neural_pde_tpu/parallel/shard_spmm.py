@@ -113,7 +113,9 @@ def make_sharded_stripe_spmm(mesh: Mesh, g: Graph, *, block_n: int = 128,
     perm_st = jnp.asarray(np.stack([x[4] for x in padded]))
     n_pad = plans[0].num_nodes
 
-    scatter = make_traced_scatter_add(block_n, chunk, n_pad)
+    scatter = make_traced_scatter_add(
+        block_n, chunk, n_pad,
+        vals_dtype=payload_dtype or jnp.float32)
 
     def _shard_body(rl, vd, cr, col_l, perm_l, x, w):
         xd = x if payload_dtype is None else x.astype(payload_dtype)

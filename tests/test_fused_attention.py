@@ -446,3 +446,27 @@ class TestMegaKernelGradients:
         assert np.isfinite(f1).all()
         scale = np.abs(f2).max() + 1e-9
         assert np.abs(f1 - f2).max() / scale < 3e-2
+
+    def test_bf16_state_training_grad(self):
+        """bf16 ODE state + bf16 payloads + mega kernel + value_and_grad —
+        the full production training configuration (cotangent dtypes must
+        match the bf16 primals through every custom VJP)."""
+        import jax
+        from graph_neural_pde_tpu.data.synthetic import make_sbm_dataset
+        from graph_neural_pde_tpu.models.gnn import GNNModel
+        from graph_neural_pde_tpu.training.train import Trainer
+        ds = make_sbm_dataset(num_nodes=40, num_classes=3, num_features=8,
+                              seed=5)
+        cfg = Config(function="transformer", block="constant", hidden_dim=8,
+                     attention_dim=8, heads=2, method="rk4", step_size=0.5,
+                     time=1.0, input_dropout=0.0, dropout=0.0,
+                     stripe_fused=True, stripe_block_n=8, stripe_chunk=16,
+                     rhs_payload_dtype="bfloat16", dtype="bfloat16",
+                     self_loop_weight=1.0)
+        model = GNNModel(cfg, ds.num_features, ds.num_classes, ds.graph)
+        tr = Trainer(model)
+        p, s = model.init(jax.random.PRNGKey(0))
+        o = tr.optimizer.init(p)
+        p, s, o, loss, stats = tr._train_step(
+            p, s, o, ds.x, None, ds.y, ds.train_mask, jax.random.PRNGKey(1))
+        assert np.isfinite(float(loss))
