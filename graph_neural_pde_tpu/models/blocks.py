@@ -317,6 +317,40 @@ def block_forward(bparams, cfg: Config, g: Graph, x, training: bool,
     stateT, stats = odeint(func, params, state0, 0.0, cfg.time, opts,
                            adjoint=cfg.adjoint and training,
                            adjoint_opts=adj_opts)
+
+    from graph_neural_pde_tpu.models.functions import rhs_may_poison
+    if rhs_may_poison(cfg):
+        # The fast softmax path NaN-poisons its output on f32 exp
+        # under/overflow instead of branching per evaluation (a lax.cond
+        # inside the solver loop blocks cross-iteration pipelining of the
+        # Pallas kernels: 151 vs 11 ms/eval measured at arxiv scale). Detect
+        # the poison — or an adaptive controller driven into its step cap by
+        # NaN error estimates — ONCE per solve and re-solve with the exact
+        # per-segment softmax.
+        rhs_exact = make_rhs(cfg, g_run, spmm_fn=spmm_fn,
+                             stripe_plan=stripe_plan, exact_softmax=True)
+        rhs_exact_run = (wrap_regularized(rhs_exact, reg_names) if use_reg
+                         else rhs_exact)
+
+        def func_exact(p, t, y):
+            out = rhs_exact_run(p["f"], p["aux"], t, y)
+            if lowp:
+                out = jax.tree_util.tree_map(
+                    lambda o, yy: o.astype(yy.dtype), out, y)
+            return out
+
+        leaves = jax.tree_util.tree_leaves(stateT)
+        bad = jnp.any(jnp.stack(
+            [jnp.any(~jnp.isfinite(l)) for l in leaves]))
+        bad = bad | stats["hit_max_steps"]
+
+        def resolve(_):
+            return odeint(func_exact, params, state0, 0.0, cfg.time, opts,
+                          adjoint=cfg.adjoint and training,
+                          adjoint_opts=adj_opts)
+
+        stateT, stats = jax.lax.cond(bad, resolve,
+                                     lambda _: (stateT, stats), None)
     if lowp:
         stateT = jax.tree_util.tree_map(
             lambda s: s.astype(jnp.float32), stateT)

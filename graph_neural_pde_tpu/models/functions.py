@@ -77,7 +77,7 @@ def _source(cfg: Config, fparams, f, aux: FuncAux):
 
 
 def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
-                           g: Graph, stripe_plan=None):
+                           g: Graph, stripe_plan=None, exact_softmax=False):
     """GRAND-nl RHS with the normalisation folded into the aggregation.
 
     For attention_norm_idx == 0 the softmax groups coincide with the SpMM
@@ -109,7 +109,7 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
     use_mega = (stripe_plan is not None
                 and cfg.attention_type == "scaled_dot"
                 and not cfg.square_plus and not cfg.reweight_attention
-                and not beltrami_exp)
+                and not beltrami_exp and not exact_softmax)
     if use_mega:
         from graph_neural_pde_tpu.models.layers import linear_apply as _lin2
         from graph_neural_pde_tpu.ops.pallas.fused_rhs import (
@@ -118,34 +118,27 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
         q = _lin2(ap["Q"], x)
         x_g = x.astype(pay_dt)[g.col]
         # softmax is shift-invariant, so NO max pass is needed: exp runs
-        # unshifted (exact while scores stay within f32's ±88 exp range) and
-        # the guard below catches both failure modes — a whole segment
-        # underflowing to 0 OR any score overflowing to inf — and reruns the
-        # exact per-segment composition for that evaluation.
+        # unshifted (exact while scores stay within f32's ±88 exp range).
+        # Both failure modes — a whole segment underflowing to 0 OR any
+        # score overflowing to inf — poison the output with NaN via an
+        # elementwise select; block_forward re-solves with the exact
+        # per-segment composition once, OUTSIDE the solver loop. (A
+        # lax.cond here, inside the solver's scan/while body, measured
+        # 151 ms/eval vs 11 ms without — the branch kills XLA's ability
+        # to pipeline the Pallas kernel across loop iterations.)
         gmax = jnp.zeros((), jnp.float32)   # f32: its cotangent is f32
         num, den = fused_rhs_aggregate(stripe_plan, h, False, q,
                                        ap["K"]["w"], ap["K"]["b"], x_g, gmax)
-        num = num.reshape(g.num_nodes, h, d)
         den_h = den[:, :h]
-
-        def divide(_):
-            return jnp.mean(num / (den_h[:, :, None] + 1e-16), axis=1)
-
-        def exact(_):
-            from graph_neural_pde_tpu.ops.scatter import segment_softmax
-            src = q[g.row].reshape(-1, h, d_k)
-            dst = (x_g.astype(x.dtype) @ ap["K"]["w"]
-                   + ap["K"]["b"]).reshape(-1, h, d_k)
-            prods = _scores(cfg, src, dst, d_k, ap)
-            att = segment_softmax(prods, g.row, g.num_nodes, mask=g.mask)
-            att = jnp.where(g.mask[:, None], att, 0.0)
-            return _fused_normalized_aggregate(cfg, g, att, x_g, x,
-                                               stripe_plan)
-
+        recip = 1.0 / (den_h + 1e-16)
+        ax = num[:, :d] * recip[:, 0:1]
+        for hh in range(1, h):
+            ax = ax + num[:, hh * d:(hh + 1) * d] * recip[:, hh:hh + 1]
+        ax = ax * (1.0 / h)
         deg = jnp.asarray(stripe_plan.node_degree)
         bad = jnp.any(((den_h <= 0.0) & (deg[:, None] > 0))
                       | ~jnp.isfinite(den_h))
-        ax = jax.lax.cond(bad, exact, divide, None)
+        ax = jnp.where(bad, jnp.asarray(jnp.nan, ax.dtype), ax)
         f = _alpha(cfg, fparams) * (ax - x)
         return _source(cfg, fparams, f, aux)
 
@@ -183,38 +176,38 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
     else:
         u = jnp.where(g.mask[:, None], jnp.exp(s), 0.0)
         ax = _softmax_aggregate_guarded(cfg, g, prods, u, gathered, x,
-                                        stripe_plan)
+                                        stripe_plan, exact_softmax)
     f = _alpha(cfg, fparams) * (ax - x)
     return _source(cfg, fparams, f, aux)
 
 
 def _softmax_aggregate_guarded(cfg: Config, g: Graph, prods, u, gathered_x,
-                               x, stripe_plan=None):
-    """Softmax aggregation with an exact per-segment fallback.
+                               x, stripe_plan=None, exact_softmax=False):
+    """Softmax aggregation, exact up to a NaN-poisoned underflow escape.
 
     The fused path substitutes ONE global max for the per-segment softmax
     maxes — identical result unless a whole segment's exp underflows in f32
     (all its scores ≥ ~88 below the global max), where 0/(0+eps) would
-    silently zero that node instead of averaging. Detect any exact-zero
-    exp on a valid edge (only possible via underflow) and lax.cond into the
-    exact per-segment softmax — the expensive branch only executes when the
-    underflow actually occurred.
+    silently zero that node instead of averaging. With ``exact_softmax``
+    the per-segment softmax runs directly (the fallback path). Otherwise
+    any exact-zero exp on a valid edge (only possible via underflow)
+    poisons the output with NaN — an elementwise select, NOT a lax.cond:
+    a cond inside the solver's scan/while body blocks cross-iteration
+    pipelining of the Pallas kernels (measured 151 vs 11 ms/eval).
+    block_forward detects the NaN after the solve and re-solves once with
+    the exact RHS.
     """
     from graph_neural_pde_tpu.ops.scatter import segment_softmax
 
-    underflowed = jnp.any((u == 0.0) & g.mask[:, None])
-
-    def exact(_):
+    if exact_softmax:
         att = segment_softmax(prods, g.row, g.num_nodes, mask=g.mask)
         att = jnp.where(g.mask[:, None], att, 0.0)
         return _fused_normalized_aggregate(cfg, g, att, gathered_x, x,
                                            stripe_plan)
 
-    def fused(_):
-        return _fused_normalized_aggregate(cfg, g, u, gathered_x, x,
-                                           stripe_plan)
-
-    return jax.lax.cond(underflowed, exact, fused, None)
+    underflowed = jnp.any((u == 0.0) & g.mask[:, None])
+    ax = _fused_normalized_aggregate(cfg, g, u, gathered_x, x, stripe_plan)
+    return jnp.where(underflowed, jnp.asarray(jnp.nan, ax.dtype), ax)
 
 
 def _fused_normalized_aggregate(cfg: Config, g: Graph, u, gathered_x, x,
@@ -240,8 +233,14 @@ def _fused_normalized_aggregate(cfg: Config, g: Graph, u, gathered_x, x,
         u_pad = jnp.zeros((u.shape[0], hp), pay_dt).at[:, :h].set(
             u.astype(pay_dt))
         num, den = stripe_scatter_add2(stripe_plan, vals, u_pad)
-        num = num.reshape(g.num_nodes, h, d)
-        return jnp.mean(num / (den[:, :h, None] + 1e-16), axis=1)
+        # 2D-slice divide: the [N, h, d] reshape+broadcast form costs 2.4x
+        # more on v5e (3.54 vs 1.44 ms at arxiv scale — the middle dim of 2
+        # forces a relayout)
+        recip = 1.0 / (den[:, :h] + 1e-16)
+        out = num[:, :d] * recip[:, 0:1]
+        for hh in range(1, h):
+            out = out + num[:, hh * d:(hh + 1) * d] * recip[:, hh:hh + 1]
+        return out * (1.0 / h)
     ones = jnp.ones((gathered_x.shape[0], 1), x.dtype)
     feat1 = jnp.concatenate([gathered_x.astype(x.dtype), ones], axis=1)
     vals = (u[:, :, None] * feat1[:, None, :]).reshape(-1, h * (d + 1))
@@ -252,7 +251,7 @@ def _fused_normalized_aggregate(cfg: Config, g: Graph, u, gathered_x, x,
 
 
 def _gat_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config, g: Graph,
-                   stripe_plan=None):
+                   stripe_plan=None, exact_softmax=False):
     """GAT RHS with separable scores and folded normalisation.
 
     The GAT score a·[Wx_row ‖ Wx_col] (function_GAT_attention.py:110-113)
@@ -288,18 +287,33 @@ def _gat_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config, g: Graph,
     gmax = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
     u = jnp.where(g.mask[:, None], jnp.exp(scores - gmax), 0.0)
     ax = _softmax_aggregate_guarded(cfg, g, scores, u, gathered, x,
-                                    stripe_plan)
+                                    stripe_plan, exact_softmax)
     f = _alpha(cfg, fparams) * (ax - x)
     return _source(cfg, fparams, f, aux)
 
 
+def rhs_may_poison(cfg: Config) -> bool:
+    """True when make_rhs's default path can NaN-poison its output on
+    softmax under/overflow — i.e. the caller must re-solve with
+    make_rhs(..., exact_softmax=True) if the solved state is non-finite."""
+    fused = (cfg.fused_attention_agg and not cfg.mix_features
+             and cfg.attention_norm_idx == 0)
+    return (cfg.function in ("transformer", "GAT") and fused
+            and not cfg.square_plus)
+
+
 def make_rhs(cfg: Config, g: Graph, spmm_fn: Optional[Callable] = None,
-             stripe_plan=None) -> Callable:
+             stripe_plan=None, exact_softmax: bool = False) -> Callable:
     """Build rhs(fparams, aux, t, x) for cfg.function over graph structure g.
 
     g's row/col/mask are static-shaped index data; all differentiable inputs
     flow through (fparams, aux). ``spmm_fn(x, w)`` overrides the aggregation
     engine (e.g. the Pallas blocked kernel over a plan-ordered graph).
+
+    ``exact_softmax``: normalise attention with the exact per-segment
+    softmax instead of the global-shift fast path. The default fast path
+    poisons its output with NaN if f32 exp under/overflowed (see
+    rhs_may_poison); callers re-solve with this flag set when that happens.
     """
     if spmm_fn is None:
         def spmm_fn(x, w):
@@ -329,7 +343,7 @@ def make_rhs(cfg: Config, g: Graph, spmm_fn: Optional[Callable] = None,
         def rhs(fparams, aux: FuncAux, t, x):
             if use_fused:
                 return _transformer_rhs_fused(fparams, aux, t, x, cfg, g,
-                                              stripe_plan)
+                                              stripe_plan, exact_softmax)
             attention, v = apply_transformer_attention(
                 fparams["att"], cfg, x, g, edge_weight=aux.edge_weight)
             if cfg.mix_features:
@@ -348,7 +362,8 @@ def make_rhs(cfg: Config, g: Graph, spmm_fn: Optional[Callable] = None,
 
         def rhs(fparams, aux: FuncAux, t, x):
             if use_fused_gat:
-                return _gat_rhs_fused(fparams, aux, t, x, cfg, g, stripe_plan)
+                return _gat_rhs_fused(fparams, aux, t, x, cfg, g, stripe_plan,
+                                      exact_softmax)
             attention, wx = apply_gat_attention(fparams["att"], cfg, x, g)
             # GAT aggregates the SAME value matrix under every head
             # (function_GAT_attention.py:32-44), and spmm is linear in the

@@ -79,8 +79,35 @@ class GNNEarlyModel(GNNModel):
         es_cfg = cfg.replace(method="dopri5") if cfg.method == "cheby" else cfg
         opts = SolverOptions.from_config(es_cfg)
         t_ext = cfg.earlystopxT * cfg.time   # EarlyStopInt t (early_stop_solver.py:244)
+        p = {"f": params["block"]["func"], "aux": aux}
         zT, best, stats = odeint_early_stop(
-            func, {"f": params["block"]["func"], "aux": aux}, x0, 0.0,
-            float(t_ext), opts, evaluate, max_test_steps=cfg.max_test_steps)
+            func, p, x0, 0.0, float(t_ext), opts, evaluate,
+            max_test_steps=cfg.max_test_steps)
+
+        from graph_neural_pde_tpu.models.functions import rhs_may_poison
+        if rhs_may_poison(cfg):
+            # fast softmax path NaN-poisons on exp under/overflow (see
+            # block_forward); re-run the early-stop solve once with the
+            # exact per-segment softmax if the poison (or a NaN-driven
+            # step-cap stall) surfaced
+            rhs_exact = make_rhs(
+                cfg, g_run,
+                spmm_fn=self.spmm_fn if graph is None else None,
+                stripe_plan=(self.stripe_plan if graph is None else None),
+                exact_softmax=True)
+
+            def func_exact(pp, t, yy):
+                return rhs_exact(pp["f"], pp["aux"], t, yy)
+
+            bad = jnp.any(~jnp.isfinite(zT)) | stats["hit_max_steps"]
+
+            def resolve(_):
+                return odeint_early_stop(
+                    func_exact, p, x0, 0.0, float(t_ext), opts, evaluate,
+                    max_test_steps=cfg.max_test_steps)
+
+            zT, best, stats = jax.lax.cond(
+                bad, resolve, lambda _: (zT, best, stats), None)
+
         logits = self.decode(params, zT[:n], False, k_dec)
         return logits, best, stats

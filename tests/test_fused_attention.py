@@ -190,19 +190,46 @@ class TestStripeEngine:
 
 
 class TestUnderflowGuard:
-    def test_widely_spread_scores_match_exact(self):
+    def test_widely_spread_scores_poison_then_exact_recovers(self):
         """Scores spread >88 apart in f32: the global-max substitution alone
-        would zero whole segments; the guard must recover the exact
+        would zero whole segments. The fast path must POISON its output with
+        NaN (elementwise select — a lax.cond inside the solver loop measured
+        151 vs 11 ms/eval on v5e), and make_rhs(exact_softmax=True) — the
+        re-solve path block_forward dispatches to — must recover the exact
         per-segment softmax (ADVICE round 1)."""
+        from graph_neural_pde_tpu.models.functions import rhs_may_poison
         cfg, g, x, params, aux = setup("scaled_dot", False, seed=7)
         # blow up Q so some segments sit ~hundreds below the global max
         params["att"]["Q"]["w"] = params["att"]["Q"]["w"] * 400.0
-        rhs_fused = make_rhs(cfg.replace(fused_attention_agg=True), g)
+        cfg_f = cfg.replace(fused_attention_agg=True)
+        assert rhs_may_poison(cfg_f)
+        rhs_fused = make_rhs(cfg_f, g)
+        rhs_fallback = make_rhs(cfg_f, g, exact_softmax=True)
         rhs_exact = make_rhs(cfg.replace(fused_attention_agg=False), g)
         f1 = np.asarray(jax.jit(rhs_fused)(params, aux, 0.0, x))
+        assert np.isnan(f1).all(), "underflow must poison the fast path"
+        f_fb = np.asarray(jax.jit(rhs_fallback)(params, aux, 0.0, x))
         f2 = np.asarray(rhs_exact(params, aux, 0.0, x))
-        assert np.isfinite(f1).all()
-        np.testing.assert_allclose(f1, f2, rtol=2e-3, atol=2e-4)
+        assert np.isfinite(f_fb).all()
+        np.testing.assert_allclose(f_fb, f2, rtol=2e-3, atol=2e-4)
+
+    def test_block_forward_resolves_poisoned_solve(self):
+        """End to end: a solve whose fast RHS underflows must come back
+        finite (and equal to the never-fused solve) through block_forward's
+        one-shot exact re-solve."""
+        from graph_neural_pde_tpu.models.blocks import block_forward
+        cfg, g, x, params, aux = setup("scaled_dot", False, seed=7)
+        bparams = {"func": params}
+        bparams["func"]["att"]["Q"]["w"] = bparams["func"]["att"]["Q"]["w"] * 400.0
+        cfg_fast = cfg.replace(fused_attention_agg=True, block="constant",
+                               method="euler", step_size=0.5, time=1.0)
+        cfg_exact = cfg_fast.replace(fused_attention_agg=False)
+        z1, stats1, _ = jax.jit(
+            lambda p, y: block_forward(p, cfg_fast, g, y, False))(bparams, x)
+        z2, _, _ = block_forward(bparams, cfg_exact, g, x, False)
+        z1, z2 = np.asarray(z1), np.asarray(z2)
+        assert np.isfinite(z1).all(), "block_forward must resolve the poison"
+        np.testing.assert_allclose(z1, z2, rtol=2e-3, atol=2e-4)
 
     def test_guard_scores_actually_underflow(self):
         """Sanity: the fixture really triggers the underflow branch."""
@@ -428,9 +455,11 @@ class TestMegaKernelGradients:
         assert all(np.isfinite(np.asarray(l)).all() for l in flat)
         assert any(np.abs(np.asarray(l)).max() > 0 for l in flat)
 
-    def test_overflow_guard_reruns_exact(self):
-        """Scores beyond f32's exp range: the inf guard must recover the
-        exact per-segment softmax (no max pass is run on the mega path)."""
+    def test_overflow_poisons_and_exact_mode_recovers(self):
+        """Scores beyond f32's exp range: the mega path (which runs exp
+        unshifted — no max pass) must poison its output with NaN, and the
+        exact_softmax re-solve mode must recover the exact per-segment
+        softmax."""
         cfg, g3, plan, x, params, aux = self._setup()
         params = dict(params)
         params["att"] = dict(params["att"])
@@ -440,12 +469,19 @@ class TestMegaKernelGradients:
         xp = jnp.pad(x * 3.0, ((0, n - x.shape[0]), (0, 0)))
         aux = aux._replace(edge_weight=g3.weight, x0=xp)
         rhs_mega = make_rhs(cfg, g3, stripe_plan=plan)
-        rhs_ref = make_rhs(cfg.replace(stripe_fused=False), g3)
+        rhs_fallback = make_rhs(cfg, g3, stripe_plan=plan,
+                                exact_softmax=True)
+        # the unfused composition path ALSO poisons on underflow now, so the
+        # oracle must run in exact mode too
+        rhs_ref = make_rhs(cfg.replace(stripe_fused=False), g3,
+                           exact_softmax=True)
         f1 = np.asarray(jax.jit(rhs_mega)(params, aux, 0.0, xp))
+        assert np.isnan(f1).all(), "overflow must poison the mega path"
+        f_fb = np.asarray(jax.jit(rhs_fallback)(params, aux, 0.0, xp))
         f2 = np.asarray(rhs_ref(params, aux, 0.0, xp))
-        assert np.isfinite(f1).all()
+        assert np.isfinite(f_fb).all()
         scale = np.abs(f2).max() + 1e-9
-        assert np.abs(f1 - f2).max() / scale < 3e-2
+        assert np.abs(f_fb - f2).max() / scale < 3e-2
 
     def test_bf16_state_training_grad(self):
         """bf16 ODE state + bf16 payloads + mega kernel + value_and_grad —
