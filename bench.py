@@ -100,7 +100,7 @@ def _sync(arr):
     _ = float(jax.device_get(arr.reshape(-1)[:1])[0])
 
 
-def _time_forward(model, params, state, x, reps=5):
+def _time_forward(model, params, state, x, reps=5, batches=3):
     @jax.jit
     def forward(params, x):
         logits, _, stats, _ = model.apply(params, state, x, training=False)
@@ -111,11 +111,16 @@ def _time_forward(model, params, state, x, reps=5):
     _sync(logits)
     compile_s = time.time() - t_compile
     nfe = int(jax.device_get(nfe))
-    t0 = time.time()
-    for _ in range(reps):
-        logits, _ = forward(params, x)
-    _sync(logits)
-    return nfe, (time.time() - t0) / reps, compile_s
+    # best-of-batches: one timed batch can absorb a tunnel hiccup or a
+    # device-side recompaction; the min batch mean is the honest steady rate
+    best = float("inf")
+    for _ in range(batches):
+        t0 = time.time()
+        for _ in range(reps):
+            logits, _ = forward(params, x)
+        _sync(logits)
+        best = min(best, (time.time() - t0) / reps)
+    return nfe, best, compile_s
 
 
 def verify_kernels_on_device():
@@ -155,17 +160,23 @@ def verify_kernels_on_device():
     assert np.allclose(np.asarray(num), wn, rtol=2e-2, atol=2e-2), "scatter2"
     assert np.allclose(np.asarray(den), wd_, rtol=2e-2, atol=2e-2), "scatter2"
 
-    q = jnp.asarray(rng.normal(size=(plan.num_nodes, att)) * 0.3, jnp.float32)
+    x_nodes = jnp.asarray(rng.normal(size=(plan.num_nodes, d)) * 0.5,
+                          jnp.float32)
+    qw = jnp.asarray(rng.normal(size=(d, att)) * 0.1, jnp.float32)
+    qb = jnp.asarray(rng.normal(size=(att,)) * 0.1, jnp.float32)
     kw = jnp.asarray(rng.normal(size=(d, att)) * 0.1, jnp.float32)
     kb = jnp.asarray(rng.normal(size=(att,)) * 0.1, jnp.float32)
     x_g = jnp.asarray(vals, jnp.bfloat16)
+    q = x_nodes @ qw + qb
     gm = _fused_score_max_impl(plan, q, kw, kb, heads=heads, x_g=x_g,
                                interpret=False)
-    fn_, fd = _fused_call(plan, q, kw, kb, x_g, gm, heads=heads,
-                          square_plus=False, interpret=False)
-    # oracle in numpy (bf16-quantised payload)
+    fn_, fd = _fused_call(plan, qw, qb, kw, kb, x_nodes, x_g, gm,
+                          heads=heads, square_plus=False, interpret=False)
+    # oracle in numpy (bf16-quantised payload; in-kernel q is bf16 too)
     xf = np.asarray(x_g, np.float32)
-    src = np.asarray(q)[rows_of_slot]
+    q_bf = (np.asarray(x_nodes, np.float32).astype(np.float32) @
+            np.asarray(qw) + np.asarray(qb))
+    src = q_bf[rows_of_slot]
     k_e = xf @ np.asarray(kw) + np.asarray(kb)
     d_k = att // heads
     s = (src * k_e).reshape(-1, heads, d_k).sum(-1) / np.sqrt(d_k)

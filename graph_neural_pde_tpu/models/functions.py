@@ -111,11 +111,9 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
                 and not cfg.square_plus and not cfg.reweight_attention
                 and not beltrami_exp and not exact_softmax)
     if use_mega:
-        from graph_neural_pde_tpu.models.layers import linear_apply as _lin2
         from graph_neural_pde_tpu.ops.pallas.fused_rhs import (
             fused_rhs_aggregate)
 
-        q = _lin2(ap["Q"], x)
         x_g = x.astype(pay_dt)[g.col]
         # softmax is shift-invariant, so NO max pass is needed: exp runs
         # unshifted (exact while scores stay within f32's ±88 exp range).
@@ -127,8 +125,10 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
         # 151 ms/eval vs 11 ms without — the branch kills XLA's ability
         # to pipeline the Pallas kernel across loop iterations.)
         gmax = jnp.zeros((), jnp.float32)   # f32: its cotangent is f32
-        num, den = fused_rhs_aggregate(stripe_plan, h, False, q,
-                                       ap["K"]["w"], ap["K"]["b"], x_g, gmax)
+        num, den = fused_rhs_aggregate(stripe_plan, h, False,
+                                       ap["Q"]["w"], ap["Q"]["b"],
+                                       ap["K"]["w"], ap["K"]["b"],
+                                       x, x_g, gmax)
         den_h = den[:, :h]
         recip = 1.0 / (den_h + 1e-16)
         ax = num[:, :d] * recip[:, 0:1]

@@ -53,9 +53,9 @@ def _head_selector(att_dim: int, heads: int, hp: int) -> np.ndarray:
     return sel
 
 
-def _rhs_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, qt_ref, kw_ref, kb_ref,
-                sel_ref, gmax_ref, num_ref, den_ref, *, chunk, block_n,
-                d, att, heads, hp, d_k, square_plus, dtype):
+def _rhs_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref, qb_ref,
+                kw_ref, kb_ref, sel_ref, gmax_ref, num_ref, den_ref, *,
+                chunk, block_n, d, att, heads, hp, d_k, square_plus, dtype):
     i = pl.program_id(0)
     prev = cr_ref[jnp.maximum(i - 1, 0)]
 
@@ -67,11 +67,22 @@ def _rhs_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, qt_ref, kw_ref, kb_ref,
     rowl = rowl_ref[:]
     xe = xe_ref[:].astype(dtype)
 
-    # row-side gather of q via one-hot MXU
-    iota_e = jax.lax.broadcasted_iota(jnp.int32, (chunk, block_n), 1)
-    p = (rowl[:, None] == iota_e).astype(dtype)
-    src = jnp.dot(p, qt_ref[:].astype(dtype),
-                  preferred_element_type=jnp.float32)          # [chunk, ATT]
+    # q projection computed in-kernel from the block's x rows — the q table
+    # never exists in HBM and the standalone [N,D]@[D,ATT] pass disappears;
+    # the per-chunk [block_n,D]@[D,ATT] replacement is ~128 MXU K-cycles
+    q_blk = (jnp.dot(xt_ref[:].astype(dtype), qw_ref[:].astype(dtype),
+                     preferred_element_type=jnp.float32)
+             + qb_ref[:]).astype(dtype)                        # [block_n, ATT]
+
+    # ONE one-hot in the scatter orientation [block_n, chunk]; the row-side
+    # gather contracts its dim 0 via dot_general. The [chunk, block_n]
+    # M-streaming layout of a dedicated gather one-hot measured 2.4x slower
+    # (7.0 vs 2.9 ms standalone; 8.1 -> 7.1 ms for this whole kernel).
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (block_n, chunk), 0)
+    pt = (rowl[None, :] == iota_n).astype(dtype)
+    src = jax.lax.dot_general(
+        pt, q_blk, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                    # [chunk, ATT]
 
     # column-side projection k_e = x_e @ K + b
     k_e = jnp.dot(xe, kw_ref[:].astype(dtype),
@@ -91,26 +102,25 @@ def _rhs_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, qt_ref, kw_ref, kb_ref,
     hmask = (jax.lax.broadcasted_iota(jnp.int32, (1, hp), 1) < heads)
     u = u * hmask.astype(u.dtype) * valid_ref[:][:, None]
 
-    # aggregation: a second one-hot in [block_n, chunk] orientation — cheaper
-    # than reusing p via a dim-0-contracting dot_general (measured 88.4 vs
-    # 84.8M edge·NFE/s end to end: the contraction relayout costs more than
-    # the extra compare)
-    iota_n = jax.lax.broadcasted_iota(jnp.int32, (block_n, chunk), 0)
-    pt = (rowl[None, :] == iota_n).astype(dtype)
     den_ref[:] += jnp.dot(pt, u.astype(dtype),
                           preferred_element_type=jnp.float32)
+    # numerators: fold u into the one-hot itself (select u where the plain
+    # one-hot had 1) instead of materialising u⊙x_e values — saves the
+    # [chunk, D] VPU multiply+cast per head
     for h in range(heads):
-        vals_h = (u[:, h:h + 1] * xe.astype(jnp.float32)).astype(dtype)
+        pt_h = jnp.where(rowl[None, :] == iota_n, u[:, h][None, :],
+                         0.0).astype(dtype)
         num_ref[:, h * d:(h + 1) * d] += jnp.dot(
-            pt, vals_h, preferred_element_type=jnp.float32)
+            pt_h, xe, preferred_element_type=jnp.float32)
 
 
-def _fused_call(plan: StripePlan, q, kw, kb, x_g, gmax, *, heads: int,
-                square_plus: bool, dtype=jnp.bfloat16,
+def _fused_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
+                heads: int, square_plus: bool, dtype=jnp.bfloat16,
                 interpret: bool | None = None):
     cap, d = x_g.shape
-    att = q.shape[1]
+    att = qw.shape[1]
     assert cap == plan.capacity and kw.shape == (d, att)
+    assert x_n.shape == (plan.num_nodes, d)
     hp = max(8, heads)
     d_k = att // heads
     chunk, block_n, nc = plan.chunk, plan.block_n, plan.n_chunks
@@ -120,6 +130,7 @@ def _fused_call(plan: StripePlan, q, kw, kb, x_g, gmax, *, heads: int,
     valid = jnp.asarray(plan.valid, jnp.float32)
     gmax2 = jnp.reshape(gmax.astype(jnp.float32), (1, 1))
     kb2 = jnp.reshape(kb.astype(jnp.float32), (1, att))
+    qb2 = jnp.reshape(qb.astype(jnp.float32), (1, att))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -128,7 +139,9 @@ def _fused_call(plan: StripePlan, q, kw, kb, x_g, gmax, *, heads: int,
             pl.BlockSpec((chunk,), lambda i, cr: (i,)),          # rowl
             pl.BlockSpec((chunk,), lambda i, cr: (i,)),          # valid
             pl.BlockSpec((chunk, d), lambda i, cr: (i, 0)),      # x_e
-            pl.BlockSpec((block_n, att), lambda i, cr: (cr[i], 0)),  # q tab
+            pl.BlockSpec((block_n, d), lambda i, cr: (cr[i], 0)),  # x rows
+            pl.BlockSpec((d, att), lambda i, cr: (0, 0)),        # Q_w
+            pl.BlockSpec((1, att), lambda i, cr: (0, 0)),        # Q_b
             pl.BlockSpec((d, att), lambda i, cr: (0, 0)),        # K_w
             pl.BlockSpec((1, att), lambda i, cr: (0, 0)),        # K_b
             pl.BlockSpec((att, hp), lambda i, cr: (0, 0)),       # selector
@@ -154,7 +167,7 @@ def _fused_call(plan: StripePlan, q, kw, kb, x_g, gmax, *, heads: int,
             transcendentals=nc * chunk * hp),
         interpret=interpret,
     )(jnp.asarray(plan.chunk_rows), jnp.asarray(plan.row_local), valid, x_g,
-      q, kw, kb2, sel, gmax2)
+      x_n, qw, qb2, kw, kb2, sel, gmax2)
 
 
 def _max_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, qt_ref, kw_ref, kb_ref,
@@ -168,10 +181,11 @@ def _max_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, qt_ref, kw_ref, kb_ref,
 
     rowl = rowl_ref[:]
     xe = xe_ref[:].astype(dtype)
-    iota_e = jax.lax.broadcasted_iota(jnp.int32, (chunk, block_n), 1)
-    p = (rowl[:, None] == iota_e).astype(dtype)
-    src = jnp.dot(p, qt_ref[:].astype(dtype),
-                  preferred_element_type=jnp.float32)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (block_n, chunk), 0)
+    pt = (rowl[None, :] == iota_n).astype(dtype)
+    src = jax.lax.dot_general(
+        pt, qt_ref[:].astype(dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     k_e = jnp.dot(xe, kw_ref[:].astype(dtype),
                   preferred_element_type=jnp.float32) + kb_ref[:]
     prod = (src * k_e).astype(dtype)
@@ -262,30 +276,34 @@ def _scores_u(plan, q, kw, kb, x_g, gmax, heads, square_plus):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def fused_rhs_aggregate(plan: StripePlan, heads: int, square_plus: bool,
-                        q, kw, kb, x_g, gmax):
+                        qw, qb, kw, kb, x_n, x_g, gmax):
     """(num [N, H·D], den [N, Hp]) of the scaled-dot attention RHS.
 
-    q: [N, ATT] row-side projections; kw/kb: K projection; x_g: x[col]
-    per plan slot (payload dtype); gmax: scalar score shift.
+    qw/qb: Q projection (computed in-kernel from x_n's block rows — the q
+    table never exists in HBM); kw/kb: K projection; x_n: [N, D] node
+    states in plan node order; x_g: x[col] per plan slot (payload dtype);
+    gmax: scalar score shift.
     """
-    return _fused_call(plan, q, kw, kb, x_g, gmax, heads=heads,
+    return _fused_call(plan, qw, qb, kw, kb, x_n, x_g, gmax, heads=heads,
                        square_plus=square_plus)
 
 
-def _fused_fwd(plan, heads, square_plus, q, kw, kb, x_g, gmax):
-    out = _fused_call(plan, q, kw, kb, x_g, gmax, heads=heads,
+def _fused_fwd(plan, heads, square_plus, qw, qb, kw, kb, x_n, x_g, gmax):
+    out = _fused_call(plan, qw, qb, kw, kb, x_n, x_g, gmax, heads=heads,
                       square_plus=square_plus)
-    return out, (q, kw, kb, x_g, gmax)
+    return out, (qw, qb, kw, kb, x_n, x_g, gmax)
 
 
 def _fused_bwd(plan, heads, square_plus, res, cts):
-    q, kw, kb, x_g, gmax = res
+    qw, qb, kw, kb, x_n, x_g, gmax = res
     ct_num, ct_den = cts
-    att = q.shape[1]
+    att = qw.shape[1]
     d = x_g.shape[1]
     d_k = att // heads
     hp = ct_den.shape[1]
 
+    xn_f = x_n.astype(jnp.float32)
+    q = xn_f @ qw + qb
     src, k_e, u, dudsm = _scores_u(plan, q, kw, kb, x_g, gmax, heads,
                                    square_plus)
     dvals, dup = _stripe_gather2_call(plan, ct_num, ct_den)
@@ -301,11 +319,14 @@ def _fused_bwd(plan, heads, square_plus, res, cts):
     dsrc = dprod * k_e
     dk_e = dprod * src
     dq = _stripe_scatter_call(plan, dsrc)[: q.shape[0]]
+    dqw = xn_f.T @ dq
+    dqb = jnp.sum(dq, axis=0)
+    dx_n = (dq @ qw.T).astype(x_n.dtype)
     dkw = xf.T @ dk_e
     dkb = jnp.sum(dk_e, axis=0)
-    dx = (jnp.einsum("eh,ehd->ed", u, dvals) + dk_e @ kw.T
-          ).astype(x_g.dtype)
-    return dq, dkw, dkb, dx, dgmax
+    dx_g = (jnp.einsum("eh,ehd->ed", u, dvals) + dk_e @ kw.T
+            ).astype(x_g.dtype)
+    return dqw, dqb, dkw, dkb, dx_n, dx_g, dgmax
 
 
 fused_rhs_aggregate.defvjp(_fused_fwd, _fused_bwd)

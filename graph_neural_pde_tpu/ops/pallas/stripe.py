@@ -146,10 +146,15 @@ def build_stripe_plan(row, mask=None, *, num_nodes: int, block_n: int = 1024,
 
 def _gather_kernel(cr_ref, rowl_ref, tab_ref, out_ref, *, chunk, block_n,
                    dtype):
-    iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, block_n), 1)
-    p = (rowl_ref[:][:, None] == iota).astype(dtype)
-    out_ref[:] = jnp.dot(p, tab_ref[:].astype(dtype),
-                         preferred_element_type=jnp.float32)
+    # scatter-orientation one-hot [block_n, chunk] contracted over dim 0:
+    # the [chunk, block_n] M-streaming layout costs 2.4x more on v5e
+    # (7.0 vs 2.9 ms at arxiv scale) — K-streaming matmuls are the MXU's
+    # fast path, M-tall ones are not
+    iota = jax.lax.broadcasted_iota(jnp.int32, (block_n, chunk), 0)
+    pt = (rowl_ref[:][None, :] == iota).astype(dtype)
+    out_ref[:] = jax.lax.dot_general(
+        pt, tab_ref[:].astype(dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 def _stripe_gather_call(plan: StripePlan, table: jax.Array,
@@ -274,6 +279,90 @@ stripe_scatter_add.defvjp(_ss_fwd, _ss_bwd)
 
 
 # ---------------------------------------------------------------------------
+# weighted scatter-add: out[row[e]] += w[e]·vals[e], weight inside the one-hot
+# ---------------------------------------------------------------------------
+# Folding the per-edge weight into the one-hot selector (select w where the
+# plain selector had 1) skips materialising w·vals — one VPU pass and one
+# [cap, D] HBM round-trip less per SpMM. This is the laplacian matvec of
+# every tuned best_params config (function_laplacian_diffusion.py:28-36).
+
+def _scatter_w_kernel(cr_ref, rowl_ref, w_ref, vals_ref, out_ref, *,
+                      chunk, block_n, dtype):
+    i = pl.program_id(0)
+    prev = cr_ref[jnp.maximum(i - 1, 0)]
+
+    @pl.when((i == 0) | (cr_ref[i] != prev))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (block_n, chunk), 0)
+    sw = jnp.where(rowl_ref[:][None, :] == iota, w_ref[:][None, :],
+                   0.0).astype(dtype)
+    out_ref[:] += jnp.dot(sw, vals_ref[:].astype(dtype),
+                          preferred_element_type=jnp.float32)
+
+
+def _stripe_scatter_w_call(plan: StripePlan, w: jax.Array, vals: jax.Array,
+                           dtype=jnp.bfloat16, interpret: bool | None = None
+                           ) -> jax.Array:
+    """[num_nodes, D] = segment-sum of w[e]·vals[e] by plan rows.
+
+    Invalid slots must carry zero WEIGHTS (vals may be anything there)."""
+    cap, d = vals.shape
+    assert cap == plan.capacity and w.shape == (cap,)
+    chunk, block_n, nc = plan.chunk, plan.block_n, plan.n_chunks
+    if interpret is None:
+        interpret = not _on_tpu()
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((chunk,), lambda i, cr: (i,)),
+            pl.BlockSpec((chunk,), lambda i, cr: (i,)),
+            pl.BlockSpec((chunk, d), lambda i, cr: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_n, d), lambda i, cr: (cr[i], 0)),
+    )
+    kernel = functools.partial(_scatter_w_kernel, chunk=chunk,
+                               block_n=block_n, dtype=dtype)
+    flops = 2 * nc * chunk * block_n * d
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.num_nodes, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=nc * chunk * d * 2,
+                                      transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(plan.chunk_rows), jnp.asarray(plan.row_local),
+      w.astype(jnp.float32), vals)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def stripe_scatter_add_weighted(plan: StripePlan, w: jax.Array,
+                                vals: jax.Array) -> jax.Array:
+    """Differentiable out[n] = Σ_{e∈rows(n)} w[e]·vals[e].
+
+    Invalid slots must carry w = 0."""
+    return _stripe_scatter_w_call(plan, w, vals)
+
+
+def _ssw_fwd(plan, w, vals):
+    return _stripe_scatter_w_call(plan, w, vals), (w, vals)
+
+
+def _ssw_bwd(plan, res, ct):
+    w, vals = res
+    g = _stripe_gather_call(plan, ct)          # ct[row[e]] per slot, f32
+    m = jnp.asarray(plan.valid, g.dtype)
+    dw = (jnp.sum(g * vals.astype(g.dtype), axis=1) * m).astype(w.dtype)
+    dvals = (g * (w.astype(g.dtype) * m)[:, None]).astype(vals.dtype)
+    return dw, dvals
+
+
+stripe_scatter_add_weighted.defvjp(_ssw_fwd, _ssw_bwd)
+
+
+# ---------------------------------------------------------------------------
 # dual scatter / gather: numerators + denominators share ONE one-hot
 # ---------------------------------------------------------------------------
 # The fused attention RHS needs Σ_e u_eh·x_e (wide, H·D) AND Σ_e u_eh (narrow)
@@ -341,12 +430,14 @@ def _stripe_scatter2_call(plan: StripePlan, vals: jax.Array, u: jax.Array,
 
 def _gather2_kernel(cr_ref, rowl_ref, t1_ref, t2_ref, o1_ref, o2_ref, *,
                     chunk, block_n, dtype):
-    iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, block_n), 1)
-    p = (rowl_ref[:][:, None] == iota).astype(dtype)
-    o1_ref[:] = jnp.dot(p, t1_ref[:].astype(dtype),
-                        preferred_element_type=jnp.float32)
-    o2_ref[:] = jnp.dot(p, t2_ref[:].astype(dtype),
-                        preferred_element_type=jnp.float32)
+    # K-streaming orientation (see _gather_kernel)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (block_n, chunk), 0)
+    pt = (rowl_ref[:][None, :] == iota).astype(dtype)
+    dims = (((0,), (0,)), ((), ()))
+    o1_ref[:] = jax.lax.dot_general(pt, t1_ref[:].astype(dtype), dims,
+                                    preferred_element_type=jnp.float32)
+    o2_ref[:] = jax.lax.dot_general(pt, t2_ref[:].astype(dtype), dims,
+                                    preferred_element_type=jnp.float32)
 
 
 def _stripe_gather2_call(plan: StripePlan, t1: jax.Array, t2: jax.Array,

@@ -41,19 +41,20 @@ def spmm(g: Graph, x: jax.Array, weight: jax.Array | None = None) -> jax.Array:
 
 def make_stripe_spmm(g: Graph, plan, payload_dtype=None):
     """spmm_fn(x, w) over a stripe plan: bf16/f32 x[col] gather (the one
-    random-access op) + the one-hot MXU scatter — ~2x the XLA gather+
-    segment-sum path at arxiv scale (13 + 7 ms vs 14 + 25 ms at D=128).
+    random-access op) + the weight-folded one-hot MXU scatter — the w·x[col]
+    product never materialises (the per-edge weight rides inside the one-hot
+    selector), so each matvec is ONE gather + ONE kernel pass.
 
     Graph edges must already be in plan slot order (build_stripe_engine).
     Differentiable: the gather through XLA, the scatter via its custom VJP.
     """
-    from graph_neural_pde_tpu.ops.pallas.stripe import stripe_scatter_add
+    from graph_neural_pde_tpu.ops.pallas.stripe import (
+        stripe_scatter_add_weighted)
 
     def spmm_fn(x, w):
         xd = x if payload_dtype is None else x.astype(payload_dtype)
         w_m = jnp.where(g.mask, w, 0.0)
-        vals = xd[g.col] * w_m[:, None].astype(xd.dtype)
-        return stripe_scatter_add(plan, vals)
+        return stripe_scatter_add_weighted(plan, w_m, xd[g.col])
 
     return spmm_fn
 

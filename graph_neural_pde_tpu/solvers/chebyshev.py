@@ -79,18 +79,56 @@ def linear_diffusion_solve(spmm_weighted: Callable, x0_state, alpha, beta,
                            source, T: float, *, num_terms: int | None = None):
     """Solve dy/dt = α(Ây − y) + β·source from y(0)=x0_state to y(T).
 
-    spmm_weighted(y) -> Â y. The constant source rides as an appended scalar
-    channel so one expm covers the inhomogeneous system. Returns (y(T), nfe)
-    where nfe = number of SpMM evaluations (one per Chebyshev term).
+    spmm_weighted(y) -> Â y. Returns (y(T), nfe) where nfe = number of SpMM
+    evaluations (one per Chebyshev term).
+
+    The inhomogeneous system is the augmented expm e^{TM}[y0; 1] with
+    M = [[L, b], [0, 0]], but materialising the extra scalar channel would
+    make the state [N, d+1] — LANE-MISALIGNED, so every x[col] gather inside
+    the SpMM pays the unaligned-width penalty (measured ~4x on v5e for
+    off-128 widths). Instead: the scaled operator S = (T·M − c)/r with
+    c = −r acts as the IDENTITY on the scalar channel, so that channel's
+    Clenshaw recurrence is a pure scalar sequence b_k = a_k + 2·b_{k+1} −
+    b_{k+2}, precomputed here in numpy; its influence on the y channel is
+    the axpy (T/r)·b_s·β·source per term. The device state stays [N, d],
+    every gather 128-aligned.
     """
-    n, d = x0_state.shape
-    z0 = jnp.concatenate([x0_state, jnp.ones((n, 1), x0_state.dtype)], axis=1)
+    alpha_max = 1.0
+    k_terms = num_terms or default_num_terms(T, alpha_max)
+    r = T * alpha_max
+    c = -r
 
-    def matvec(z):
-        y, s = z[:, :d], z[:, d:]
-        ly = alpha * (spmm_weighted(y) - y) + beta * source * s
-        return jnp.concatenate([ly, jnp.zeros_like(s)], axis=1)
+    ks = np.arange(k_terms + 1)
+    coef = ive(ks, r)
+    coef[1:] *= 2.0
 
-    k_terms = num_terms or default_num_terms(T, 1.0)
-    zT = expm_multiply_cheby(matvec, z0, T, num_terms=k_terms)
-    return zT[:, :d], jnp.asarray(k_terms + 1, jnp.int32)
+    # scalar-channel Clenshaw (S is identity there; seed channel value 1)
+    s1, s2 = 0.0, 0.0
+    s_seq = []                      # b1s as seen by term k (before update)
+    for a_k in coef[1:][::-1]:
+        s_seq.append(s1)
+        s1, s2 = a_k + 2.0 * s1 - s2, s1
+    s_close = s1                    # b1s entering the k=0 close
+    a_scan = jnp.asarray(np.asarray(coef[1:][::-1], np.float32))
+    s_scan = jnp.asarray(np.asarray(s_seq, np.float32))
+
+    src_term = beta * source        # [N, d] (or scalar 0 when add_source off)
+
+    def s_op_y(y):
+        # y-channel of S z: (T·L y − c·y)/r
+        ly = alpha * (spmm_weighted(y) - y)
+        return (T * ly - c * y) / r
+
+    def clenshaw_step(carry, ak_sk):
+        a_k, b1s = ak_sk
+        b1, b2 = carry
+        b0 = (a_k * x0_state + 2.0 * (s_op_y(b1) + (T / r) * b1s * src_term)
+              - b2)
+        return (b0, b1), None
+
+    zeros = jnp.zeros_like(x0_state)
+    (b1, b2), _ = jax.lax.scan(clenshaw_step, (zeros, zeros),
+                               (a_scan, s_scan))
+    coef0 = jnp.asarray(float(coef[0]), jnp.float32)
+    yT = (coef0 * x0_state + s_op_y(b1) + (T / r) * s_close * src_term - b2)
+    return yT, jnp.asarray(k_terms + 1, jnp.int32)

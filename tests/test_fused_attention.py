@@ -285,6 +285,37 @@ class TestDualStripeKernels:
         np.testing.assert_allclose(np.asarray(den), want_den, rtol=2e-2,
                                    atol=2e-2)
 
+    def test_weighted_scatter_matches_and_grads(self):
+        """stripe_scatter_add_weighted == segment-sum of w·vals, and its VJP
+        matches jax.grad of the unfused formulation."""
+        from graph_neural_pde_tpu.ops.pallas.stripe import (
+            stripe_scatter_add, stripe_scatter_add_weighted)
+        plan, vals, u, row = self._plan_and_data()
+        rng = np.random.default_rng(3)
+        w = rng.normal(size=(plan.capacity,)).astype(np.float32)
+        w[~plan.valid] = 0.0
+        w = jnp.asarray(w)
+        got = stripe_scatter_add_weighted(plan, w, vals)
+        want = stripe_scatter_add(plan, vals * w[:, None])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2)
+
+        ct = jnp.asarray(rng.normal(size=got.shape).astype(np.float32))
+
+        def loss_fused(w, vals):
+            return jnp.sum(stripe_scatter_add_weighted(plan, w, vals) * ct)
+
+        def loss_ref(w, vals):
+            return jnp.sum(stripe_scatter_add(plan, vals * w[:, None]) * ct)
+
+        dw1, dv1 = jax.grad(loss_fused, argnums=(0, 1))(w, vals)
+        dw2, dv2 = jax.grad(loss_ref, argnums=(0, 1))(w, vals)
+        m = plan.valid
+        np.testing.assert_allclose(np.asarray(dw1)[m], np.asarray(dw2)[m],
+                                   rtol=5e-2, atol=5e-2)
+        np.testing.assert_allclose(np.asarray(dv1)[m], np.asarray(dv2)[m],
+                                   rtol=5e-2, atol=5e-2)
+
     def test_scatter2_gather2_vjp_duality(self):
         """grad of sum(num*A)+sum(den*B) == gather2(A, B) on valid slots."""
         from graph_neural_pde_tpu.ops.pallas.stripe import (
