@@ -38,12 +38,17 @@ def rk_step(func: Func, params, t0, y0, f0, h, tab: Tableau):
         for bj, kj in zip(brow, ks):
             if bj != 0.0:
                 yi = tree_axpy(h * bj, kj, yi)
+        # Materialise the stage input so XLA can't fuse the stage
+        # combination into the RHS's edge gather (re-evaluated per gathered
+        # row — measured 1.6x whole-solve slowdown; see fixed.py).
+        yi = jax.lax.optimization_barrier(yi)
         ks.append(func(params, ti, yi))
 
     y1 = y0
     for cj, kj in zip(tab.c_sol, ks):
         if cj != 0.0:
             y1 = tree_axpy(h * cj, kj, y1)
+    y1 = jax.lax.optimization_barrier(y1)
 
     if tab.fsal:
         f1 = ks[-1]
