@@ -92,8 +92,9 @@ def odeint_adams(func: Callable, params, y0, t0: float, t1: float, *,
     def step(carry, t_dt):
         y, hist, nfe = carry
         t, dt = t_dt
-        # predict (AB)
-        y_pred = _lincomb_hist(y, dt, ab, hist)
+        # predict (AB). Barrier each state fed to func so the history
+        # combination can't fuse into the RHS's edge gather (see fixed.py).
+        y_pred = jax.lax.optimization_barrier(_lincomb_hist(y, dt, ab, hist))
         if implicit:
             y_next = y_pred
             for _ in range(corrector_iters):
@@ -101,6 +102,7 @@ def odeint_adams(func: Callable, params, y0, t0: float, t1: float, *,
                 y_next = _lincomb_hist(y, dt, _AM4[1:], hist, extra=None)
                 y_next = jax.tree_util.tree_map(
                     lambda o, f: o + dt * _AM4[0] * f, y_next, f_new)
+                y_next = jax.lax.optimization_barrier(y_next)
             f_next = func(params, t + dt, y_next)
             nfe = nfe + corrector_iters + 1
         else:
