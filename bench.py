@@ -17,17 +17,25 @@ fairest stand-in we can state.
 
 Round-2 engine (PARITY.md has the measured roofline): ONE 128-aligned bf16
 gather of x[col] is the only random-access op per RHS evaluation; the
-row-side q gather, per-edge K projection, scaled-dot scores, exp and both
-softmax aggregates run in a single Mosaic kernel (ops/pallas/fused_rhs.py)
-over a row-stripe plan, with bf16 ODE state on the fixed grid. Measured
+row-side q gather, per-edge K projection, scaled-dot scores, exp, both
+softmax aggregates AND the head-averaged division run in a single Mosaic
+kernel (ops/pallas/fused_rhs.py — the undifferentiated primal keeps the
+[N, H·D] numerators in VMEM scratch) over a row-stripe plan, with bf16 ODE
+state on the fixed grid and optimization_barrier'd solver stage inputs (so
+XLA cannot fuse the RK stage combinations into the gather — that fusion
+re-evaluated them per gathered row, 2.25x gather slowdown). Measured
 progression on one v5e at this scale: 13.6M (naive XLA) → 25.2M (round-1
 fused composition) → 42.4M (aligned column side) → 58.2M (bf16 payloads) →
-88M+ (one-pass kernel) edge·NFE/s. The remaining distance to the ≥10×-GPU
-target is the irreducible random gather (~5 ns/edge): the levers past it are
-the edge-sharded multi-chip design (latency-bound work scales linearly with
-chips; see parallel/shard_spmm.make_sharded_stripe_spmm) and the Chebyshev
-expm solver reported as the secondary metric (exact solve of every tuned —
-linear — config at ~⌈1.4T⌉+30 matvecs instead of hundreds of NFE).
+88M (one-pass kernel) → 247M (stage-input barriers) → 259M (scratch-resident
+numerators) edge·NFE/s. The measured floor is the gather's per-row issue
+rate: 2.15 ns/row on v5e, independent of width (32-128), dtype (bf16/f32)
+and index locality (even fully sorted) — ~500M edge·NFE/s absolute
+single-chip bound at this scale with zero compute. The levers past it are
+the edge-sharded multi-chip design (issue-rate-bound work scales linearly
+with chips; see parallel/shard_spmm.make_sharded_stripe_spmm) and the
+Chebyshev expm solver reported as the secondary metric (exact solve of
+every tuned — linear — config at ~⌈1.4T⌉+30 matvecs instead of hundreds of
+NFE).
 
 Before timing, every Mosaic kernel is verified against an on-device oracle
 (verify_kernels_on_device). Prints ONE JSON line to stdout.

@@ -165,6 +165,9 @@ class Config:
     # (2.33M edges: scatter w=256 9.9 ms; chunk 512 faults Mosaic)
     stripe_block_n: int = 128
     stripe_chunk: int = 2048
+    # pick the capacity-minimising chunk from the degree distribution
+    # (stripe.auto_chunk); stripe_chunk is the explicit fallback
+    stripe_chunk_auto: bool = True
     edge_pad_multiple: int = 512       # pad edge count to a multiple (static shapes)
     node_pad_multiple: int = 8         # pad node count to a multiple
     mesh_shape: Tuple[int, ...] = ()   # () = single chip; e.g. (8,) = 8-way edge sharding

@@ -117,10 +117,17 @@ def build_stripe_engine(cfg: Config, g: Graph):
     import numpy as np
     from graph_neural_pde_tpu.ops.pallas.stripe import build_stripe_plan
     assert g.rows_sorted, "prepare_graph must run before build_stripe_engine"
+    chunk = cfg.stripe_chunk
+    if cfg.stripe_chunk_auto and chunk >= 128:
+        # capacity-minimising chunk from the degree distribution, bounded
+        # above by the configured (measured-best) chunk
+        from graph_neural_pde_tpu.ops.pallas.stripe import auto_chunk
+        chunk = auto_chunk(np.asarray(g.row), np.asarray(g.mask),
+                           num_nodes=g.num_nodes, block_n=cfg.stripe_block_n,
+                           lo=min(512, chunk), hi=chunk)
     plan = build_stripe_plan(np.asarray(g.row), np.asarray(g.mask),
                              num_nodes=g.num_nodes,
-                             block_n=cfg.stripe_block_n,
-                             chunk=cfg.stripe_chunk)
+                             block_n=cfg.stripe_block_n, chunk=chunk)
     idx = np.where(np.asarray(g.mask))[0]
     slots = np.asarray(plan.slot_of_edge)[idx]
     cap = plan.capacity

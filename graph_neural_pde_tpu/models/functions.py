@@ -111,8 +111,7 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
                 and not cfg.square_plus and not cfg.reweight_attention
                 and not beltrami_exp and not exact_softmax)
     if use_mega:
-        from graph_neural_pde_tpu.ops.pallas.fused_rhs import (
-            fused_rhs_aggregate)
+        from graph_neural_pde_tpu.ops.pallas.fused_rhs import fused_rhs_ax
 
         x_g = x.astype(pay_dt)[g.col]
         # softmax is shift-invariant, so NO max pass is needed: exp runs
@@ -125,16 +124,13 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
         # 151 ms/eval vs 11 ms without — the branch kills XLA's ability
         # to pipeline the Pallas kernel across loop iterations.)
         gmax = jnp.zeros((), jnp.float32)   # f32: its cotangent is f32
-        num, den = fused_rhs_aggregate(stripe_plan, h, False,
-                                       ap["Q"]["w"], ap["Q"]["b"],
-                                       ap["K"]["w"], ap["K"]["b"],
-                                       x, x_g, gmax)
+        # undifferentiated forward = scratch-accumulator kernel (the [N,H·D]
+        # numerators never reach HBM); under vjp the num/den kernel runs
+        ax, den = fused_rhs_ax(stripe_plan, h, False,
+                               ap["Q"]["w"], ap["Q"]["b"],
+                               ap["K"]["w"], ap["K"]["b"],
+                               x, x_g, gmax)
         den_h = den[:, :h]
-        recip = 1.0 / (den_h + 1e-16)
-        ax = num[:, :d] * recip[:, 0:1]
-        for hh in range(1, h):
-            ax = ax + num[:, hh * d:(hh + 1) * d] * recip[:, hh:hh + 1]
-        ax = ax * (1.0 / h)
         deg = jnp.asarray(stripe_plan.node_degree)
         bad = jnp.any(((den_h <= 0.0) & (deg[:, None] > 0))
                       | ~jnp.isfinite(den_h))

@@ -114,6 +114,118 @@ def _rhs_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref, qb_ref,
             pt_h, xe, preferred_element_type=jnp.float32)
 
 
+def _rhs_kernel_ax(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref,
+                   qb_ref, kw_ref, kb_ref, sel_ref, gmax_ref, ax_ref,
+                   den_ref, num_scr, *, chunk, block_n, d, att, heads, hp,
+                   d_k, square_plus, dtype):
+    """Evaluation variant: the [N, H·D] numerators accumulate in VMEM
+    scratch and only the per-head-averaged ax = (1/H)·Σ_h num_h/(den_h+eps)
+    (plus the small den, for the underflow guard) is written to HBM —
+    removing the num write + re-read + epilogue division that cost ~0.8 ms
+    per RHS eval at arxiv scale. The division runs on the running partials
+    every chunk (cheap VPU) so the block's final write is complete."""
+    i = pl.program_id(0)
+    prev = cr_ref[jnp.maximum(i - 1, 0)]
+
+    @pl.when((i == 0) | (cr_ref[i] != prev))
+    def _():
+        num_scr[:] = jnp.zeros_like(num_scr)
+        den_ref[:] = jnp.zeros_like(den_ref)
+
+    rowl = rowl_ref[:]
+    xe = xe_ref[:].astype(dtype)
+    q_blk = (jnp.dot(xt_ref[:].astype(dtype), qw_ref[:].astype(dtype),
+                     preferred_element_type=jnp.float32)
+             + qb_ref[:]).astype(dtype)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (block_n, chunk), 0)
+    pt = (rowl[None, :] == iota_n).astype(dtype)
+    src = jax.lax.dot_general(
+        pt, q_blk, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    k_e = jnp.dot(xe, kw_ref[:].astype(dtype),
+                  preferred_element_type=jnp.float32) + kb_ref[:]
+    prod = (src * k_e).astype(dtype)
+    s = jnp.dot(prod, sel_ref[:].astype(dtype),
+                preferred_element_type=jnp.float32) / math.sqrt(d_k)
+    sm = s - gmax_ref[0, 0]
+    if square_plus:
+        u = (sm + jnp.sqrt(sm * sm + 4.0)) * 0.5
+    else:
+        u = jnp.exp(sm)
+    hmask = (jax.lax.broadcasted_iota(jnp.int32, (1, hp), 1) < heads)
+    u = u * hmask.astype(u.dtype) * valid_ref[:][:, None]
+    den_ref[:] += jnp.dot(pt, u.astype(dtype),
+                          preferred_element_type=jnp.float32)
+    for h in range(heads):
+        pt_h = jnp.where(rowl[None, :] == iota_n, u[:, h][None, :],
+                         0.0).astype(dtype)
+        num_scr[:, h * d:(h + 1) * d] += jnp.dot(
+            pt_h, xe, preferred_element_type=jnp.float32)
+    recip = 1.0 / (den_ref[:, :heads] + 1e-16)                 # [block_n, H]
+    acc = num_scr[:, 0:d] * recip[:, 0:1]
+    for h in range(1, heads):
+        acc = acc + num_scr[:, h * d:(h + 1) * d] * recip[:, h:h + 1]
+    ax_ref[:] = acc * (1.0 / heads)
+
+
+def _fused_ax_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
+                   heads: int, square_plus: bool, dtype=jnp.bfloat16,
+                   interpret: bool | None = None):
+    """(ax [N, D], den [N, Hp]) via the scratch-accumulator kernel."""
+    cap, d = x_g.shape
+    att = qw.shape[1]
+    assert cap == plan.capacity and kw.shape == (d, att)
+    assert x_n.shape == (plan.num_nodes, d)
+    hp = max(8, heads)
+    d_k = att // heads
+    chunk, block_n, nc = plan.chunk, plan.block_n, plan.n_chunks
+    if interpret is None:
+        interpret = not _on_tpu()
+    sel = jnp.asarray(_head_selector(att, heads, hp))
+    valid = jnp.asarray(plan.valid, jnp.float32)
+    gmax2 = jnp.reshape(gmax.astype(jnp.float32), (1, 1))
+    kb2 = jnp.reshape(kb.astype(jnp.float32), (1, att))
+    qb2 = jnp.reshape(qb.astype(jnp.float32), (1, att))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((chunk,), lambda i, cr: (i,)),          # rowl
+            pl.BlockSpec((chunk,), lambda i, cr: (i,)),          # valid
+            pl.BlockSpec((chunk, d), lambda i, cr: (i, 0)),      # x_e
+            pl.BlockSpec((block_n, d), lambda i, cr: (cr[i], 0)),  # x rows
+            pl.BlockSpec((d, att), lambda i, cr: (0, 0)),        # Q_w
+            pl.BlockSpec((1, att), lambda i, cr: (0, 0)),        # Q_b
+            pl.BlockSpec((d, att), lambda i, cr: (0, 0)),        # K_w
+            pl.BlockSpec((1, att), lambda i, cr: (0, 0)),        # K_b
+            pl.BlockSpec((att, hp), lambda i, cr: (0, 0)),       # selector
+            pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
+                         memory_space=pltpu.SMEM),               # gmax
+        ],
+        out_specs=(
+            pl.BlockSpec((block_n, d), lambda i, cr: (cr[i], 0)),
+            pl.BlockSpec((block_n, hp), lambda i, cr: (cr[i], 0)),
+        ),
+        scratch_shapes=[pltpu.VMEM((block_n, heads * d), jnp.float32)],
+    )
+    kernel = functools.partial(
+        _rhs_kernel_ax, chunk=chunk, block_n=block_n, d=d, att=att,
+        heads=heads, hp=hp, d_k=d_k, square_plus=square_plus, dtype=dtype)
+    flops = 2 * nc * chunk * (block_n * (att + heads * d + hp) + d * att)
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((plan.num_nodes, d), jnp.float32),
+            jax.ShapeDtypeStruct((plan.num_nodes, hp), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=nc * chunk * d * 2,
+            transcendentals=nc * chunk * hp),
+        interpret=interpret,
+    )(jnp.asarray(plan.chunk_rows), jnp.asarray(plan.row_local), valid, x_g,
+      x_n, qw, qb2, kw, kb2, sel, gmax2)
+
+
 def _fused_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
                 heads: int, square_plus: bool, dtype=jnp.bfloat16,
                 interpret: bool | None = None):
@@ -330,3 +442,52 @@ def _fused_bwd(plan, heads, square_plus, res, cts):
 
 
 fused_rhs_aggregate.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _ax_from_numden(num, den, heads, d):
+    """Exactly the in-kernel head average: (1/H)·Σ_h num_h/(den_h+1e-16)."""
+    recip = 1.0 / (den[:, :heads] + 1e-16)
+    ax = num[:, :d] * recip[:, 0:1]
+    for h in range(1, heads):
+        ax = ax + num[:, h * d:(h + 1) * d] * recip[:, h:h + 1]
+    return ax * (1.0 / heads)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def fused_rhs_ax(plan: StripePlan, heads: int, square_plus: bool,
+                 qw, qb, kw, kb, x_n, x_g, gmax):
+    """(ax [N, D], den [N, Hp]) — the head-averaged normalised aggregate.
+
+    The undifferentiated primal runs the scratch-accumulator kernel
+    (_rhs_kernel_ax): numerators never touch HBM. Under vjp the fwd rule
+    falls back to the num/den kernel (residuals feed the hand-derived
+    backward), so training keeps the existing gradient path bit-for-bit.
+    """
+    ax, den = _fused_ax_call(plan, qw, qb, kw, kb, x_n, x_g, gmax,
+                             heads=heads, square_plus=square_plus)
+    return ax, den
+
+
+def _ax_fwd(plan, heads, square_plus, qw, qb, kw, kb, x_n, x_g, gmax):
+    num, den = _fused_call(plan, qw, qb, kw, kb, x_n, x_g, gmax,
+                           heads=heads, square_plus=square_plus)
+    d = x_g.shape[1]
+    ax = _ax_from_numden(num, den, heads, d)
+    return (ax, den), (qw, qb, kw, kb, x_n, x_g, gmax, num, den)
+
+
+def _ax_bwd(plan, heads, square_plus, res, cts):
+    qw, qb, kw, kb, x_n, x_g, gmax, num, den = res
+    ct_ax, ct_den_in = cts
+    d = x_g.shape[1]
+    recip = 1.0 / (den[:, :heads] + 1e-16)
+    ct_num = jnp.concatenate(
+        [ct_ax * (recip[:, h:h + 1] / heads) for h in range(heads)], axis=1)
+    upd = [-(jnp.sum(ct_ax * num[:, h * d:(h + 1) * d], axis=1)
+             * recip[:, h] ** 2) / heads for h in range(heads)]
+    ct_den = ct_den_in.at[:, :heads].add(jnp.stack(upd, axis=1))
+    return _fused_bwd(plan, heads, square_plus,
+                      (qw, qb, kw, kb, x_n, x_g, gmax), (ct_num, ct_den))
+
+
+fused_rhs_ax.defvjp(_ax_fwd, _ax_bwd)

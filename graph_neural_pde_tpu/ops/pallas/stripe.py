@@ -80,10 +80,37 @@ class StripePlan:
         return self.row_local.shape[0]
 
 
+def auto_chunk(row, mask=None, *, num_nodes: int, block_n: int,
+               lo: int = 512, hi: int = 4096,
+               per_chunk_overhead_slots: int = 256) -> int:
+    """Pick the chunk size minimising padded capacity + per-chunk overhead.
+
+    Every slot costs gather issue (~2.15 ns/row measured on v5e — width,
+    dtype and locality independent) plus stream/MXU work, and every chunk
+    carries a fixed score-stage cost (~1 µs ≈ 250 slot-equivalents), so the
+    objective is cap + overhead·n_chunks over lane-aligned candidates.
+    Degree-distribution aware: a chunk near mean_block_edges + ~3σ packs
+    ~1 chunk/block with minimal tail spill (e.g. the arxiv-scale bench
+    graph: 2048 → 1920 cuts capacity 6%)."""
+    row = np.asarray(row, np.int64)
+    if mask is not None:
+        row = row[np.asarray(mask, bool)]
+    n_pad = ((num_nodes + block_n - 1) // block_n) * block_n
+    counts = np.bincount(row // block_n, minlength=n_pad // block_n)
+    best, best_cost = hi, float("inf")
+    for c in range(lo, hi + 1, 128):
+        nc = int(np.maximum(1, -(-counts // c)).sum())
+        cost = nc * (c + per_chunk_overhead_slots)
+        if cost < best_cost:
+            best, best_cost = c, cost
+    return best
+
+
 def build_stripe_plan(row, mask=None, *, num_nodes: int, block_n: int = 1024,
-                      chunk: int = 1024) -> StripePlan:
+                      chunk: int | None = 1024) -> StripePlan:
     """Host-side builder. ``row`` must already be sorted ascending over the
-    valid entries (Graph.sort_by_row guarantees this)."""
+    valid entries (Graph.sort_by_row guarantees this). ``chunk=None``
+    selects the capacity-minimising chunk via auto_chunk."""
     row = np.asarray(row, np.int64)
     e_in = row.shape[0]
     valid_in = (np.ones(e_in, bool) if mask is None
@@ -91,6 +118,8 @@ def build_stripe_plan(row, mask=None, *, num_nodes: int, block_n: int = 1024,
     idx = np.where(valid_in)[0]
     r = row[idx]
     assert (np.diff(r) >= 0).all(), "rows must be sorted (Graph.sort_by_row)"
+    if chunk is None:
+        chunk = auto_chunk(r, num_nodes=num_nodes, block_n=block_n)
 
     # native planner (runtime/graphcore.cpp) — same layout, C++ speed for
     # very large edge lists; the numpy path below is the reference/fallback
