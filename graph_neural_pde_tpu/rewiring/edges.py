@@ -173,6 +173,15 @@ def apply_edge_sampling(g: Graph, cfg: Config, mean_attention_fn: Callable,
         att0 = np.asarray(mean_attention_fn(g))
         g2 = add_khop_edges(g, att0, k=2)
         cap = max(cap, g2.capacity)
+    elif cfg.edge_sampling_add_type == "n2_radius":
+        # the reference densifies to the FULL adjacency
+        # (graph_rewiring.py:221-222); only the sparsify step below keeps
+        # this tractable. 'anchored'/'degree' are unimplemented stubs in
+        # the reference (graph_rewiring.py:211-212, 219-220) — rejected
+        # here for the same reason
+        from graph_neural_pde_tpu.ops.graph import full_adjacency
+        g2 = full_adjacency(g.num_nodes)
+        cap = max(cap, g2.capacity)
     else:
         g2 = g
     if cfg.edge_sampling_space != "attention" and embeddings is not None:

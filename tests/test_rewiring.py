@@ -199,6 +199,27 @@ class TestEdgeSurgery:
         g2 = threshold_edges_by_attention(g, att, 0.5, capacity=g.capacity)
         assert int(g2.num_edges) < int(g.num_edges)
 
+    def test_n2_radius_densifies_to_full_adjacency(self):
+        # add_edges 'n2_radius' replaces the edge set with all pairs
+        # (graph_rewiring.py:221-222) before the sparsify step
+        from graph_neural_pde_tpu.config import Config
+        from graph_neural_pde_tpu.rewiring.edges import apply_edge_sampling
+
+        g = ring_graph(8)
+        cfg = Config(edge_sampling_add_type="n2_radius",
+                     edge_sampling_rmv=0.25)
+        seen = {}
+
+        def mean_att(gg):
+            seen["n"] = int(np.asarray(gg.mask).sum())
+            return np.linspace(0.1, 1.0, gg.capacity)
+
+        g2 = apply_edge_sampling(g, cfg, mean_att,
+                                 np.random.default_rng(0))
+        assert seen["n"] == 8 * 8          # attention scored on all pairs
+        kept = int(np.asarray(g2.mask).sum())
+        assert kept == int(round(64 * 0.75))
+
 
 class TestDistanceEdgeSampling:
     def test_drops_farthest(self):
