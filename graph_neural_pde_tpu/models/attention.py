@@ -16,6 +16,7 @@ softmax — replacing PyG's scatter-softmax CUDA kernel.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from typing import Optional
 
@@ -94,7 +95,8 @@ def _scores(cfg: Config, src: jax.Array, dst: jax.Array, d_k: int,
 
 
 def transformer_scores(params, cfg: Config, x: jax.Array, g: Graph,
-                       edge_weight: Optional[jax.Array] = None):
+                       edge_weight: Optional[jax.Array] = None,
+                       stripe_plan=None):
     """Raw per-edge, per-head scores (pre-normalisation) and values.
 
     Gathers happen on the *flat* [N, attention_dim] projections and reshape
@@ -133,7 +135,16 @@ def transformer_scores(params, cfg: Config, x: jax.Array, g: Graph,
         q = linear_apply(params["Q"], x)            # [N, att_dim]
         k = linear_apply(params["K"], x)
         v = _heads(linear_apply(params["V"], x), h, d_k)
-        src = q[g.row].reshape(-1, h, d_k)
+        if (stripe_plan is not None and g.rows_sorted
+                and g.row.shape[0] == stripe_plan.capacity):
+            # row side rides the one-hot MXU gather (~4x the XLA gather's
+            # issue-rate cost at arxiv scale); column side stays XLA. f32
+            # one-hot: this path feeds the EXACT frozen attention
+            from graph_neural_pde_tpu.ops.pallas.stripe import (
+                stripe_gather_f32)
+            src = stripe_gather_f32(stripe_plan, q).reshape(-1, h, d_k)
+        else:
+            src = q[g.row].reshape(-1, h, d_k)
         dst = k[g.col].reshape(-1, h, d_k)
         prods = _scores(cfg, src, dst, d_k, params)
 
@@ -142,19 +153,40 @@ def transformer_scores(params, cfg: Config, x: jax.Array, g: Graph,
     return prods, v
 
 
+def _normalize_scores(prods, cfg: Config, g: Graph, stripe_plan=None):
+    """Per-segment softmax/squareplus of raw scores, on the stripe MXU
+    kernels when a plan covers the row-softmax case (~25x the XLA scatter
+    path at arxiv scale; exact, with a one-cond fallback)."""
+    norm_index = g.row if cfg.attention_norm_idx == 0 else g.col
+    use_stripe = (stripe_plan is not None and cfg.attention_norm_idx == 0
+                  and g.rows_sorted
+                  and prods.shape[0] == stripe_plan.capacity)
+    if cfg.square_plus:
+        if use_stripe:
+            from graph_neural_pde_tpu.ops.pallas.stripe import (
+                stripe_segment_squareplus)
+            return stripe_segment_squareplus(stripe_plan, prods)
+        return segment_squareplus(prods, norm_index, g.num_nodes, g.mask)
+    if use_stripe:
+        from graph_neural_pde_tpu.ops.pallas.stripe import (
+            stripe_segment_softmax)
+        return stripe_segment_softmax(
+            stripe_plan, prods,
+            lambda: segment_softmax(prods, norm_index, g.num_nodes, g.mask))
+    return segment_softmax(prods, norm_index, g.num_nodes, g.mask)
+
+
 def apply_transformer_attention(params, cfg: Config, x: jax.Array, g: Graph,
-                                edge_weight: Optional[jax.Array] = None):
+                                edge_weight: Optional[jax.Array] = None,
+                                stripe_plan=None):
     """Returns (attention [E, H], values [N, H, d_k] | None).
 
     x may be [features ‖ positional ‖ labels] in the Beltrami regime
     (function_transformer_attention.py:128-171).
     """
-    prods, v = transformer_scores(params, cfg, x, g, edge_weight)
-    norm_index = g.row if cfg.attention_norm_idx == 0 else g.col
-    if cfg.square_plus:
-        attention = segment_squareplus(prods, norm_index, g.num_nodes, g.mask)
-    else:
-        attention = segment_softmax(prods, norm_index, g.num_nodes, g.mask)
+    prods, v = transformer_scores(params, cfg, x, g, edge_weight,
+                                  stripe_plan=stripe_plan)
+    attention = _normalize_scores(prods, cfg, g, stripe_plan)
     return attention, v
 
 
@@ -178,7 +210,8 @@ def init_gat_attention(key, cfg: Config, in_dim: int):
     }
 
 
-def apply_gat_attention(params, cfg: Config, x: jax.Array, g: Graph):
+def apply_gat_attention(params, cfg: Config, x: jax.Array, g: Graph,
+                        stripe_plan=None):
     """Returns (attention [E, H], wx [N, att_dim]).
 
     GAT scoring a·[Wx_src ‖ Wx_dst] + LeakyReLU + segment softmax
@@ -191,6 +224,7 @@ def apply_gat_attention(params, cfg: Config, x: jax.Array, g: Graph):
     edge_h = jnp.concatenate([hh[g.row], hh[g.col]], axis=-1)  # [E, H, 2d_k]
     scores = jnp.einsum("ehd,d->eh", edge_h, params["a"][:, 0])
     scores = jax.nn.leaky_relu(scores, cfg.leaky_relu_slope)
-    norm_index = g.row if cfg.attention_norm_idx == 0 else g.col
-    attention = segment_softmax(scores, norm_index, g.num_nodes, g.mask)
+    sp_cfg = dataclasses.replace(cfg, square_plus=False) \
+        if cfg.square_plus else cfg
+    attention = _normalize_scores(scores, sp_cfg, g, stripe_plan)
     return attention, wx

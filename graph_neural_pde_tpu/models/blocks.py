@@ -159,20 +159,26 @@ def init_block(key, cfg: Config, in_dim: int):
     return p
 
 
-def _block_attention(bparams, cfg: Config, g: Graph, x):
-    """The attention weights a block freezes at t=0."""
+def _block_attention(bparams, cfg: Config, g: Graph, x, stripe_plan=None):
+    """The attention weights a block freezes at t=0. With a stripe plan the
+    per-segment normalisation rides the MXU kernels (stripe_segment_softmax)
+    instead of XLA scatter-max/add — ~7x cheaper per forward at arxiv
+    scale."""
     if "att" in bparams:
         att, _v = apply_transformer_attention(bparams["att"], cfg, x, g,
-                                              edge_weight=g.weight)
+                                              edge_weight=g.weight,
+                                              stripe_plan=stripe_plan)
         return att
     # hard_attention with function in {GAT, transformer}: reuse the function's
     # own attention layer (block_transformer_hard_attention.py:36-41)
     from graph_neural_pde_tpu.models.attention import apply_gat_attention
     if cfg.function == "GAT":
-        att, _ = apply_gat_attention(bparams["func"]["att"], cfg, x, g)
+        att, _ = apply_gat_attention(bparams["func"]["att"], cfg, x, g,
+                                     stripe_plan=stripe_plan)
     else:
         att, _ = apply_transformer_attention(bparams["func"]["att"], cfg, x, g,
-                                             edge_weight=g.weight)
+                                             edge_weight=g.weight,
+                                             stripe_plan=stripe_plan)
     return att
 
 
@@ -194,8 +200,8 @@ def masked_quantile(values: jax.Array, mask: jax.Array, q: jax.Array) -> jax.Arr
     return v_lo + frac * (v_hi - v_lo)
 
 
-def build_aux(bparams, cfg: Config, g: Graph, x, training: bool
-              ) -> Tuple[FuncAux, Graph]:
+def build_aux(bparams, cfg: Config, g: Graph, x, training: bool,
+              stripe_plan=None) -> Tuple[FuncAux, Graph]:
     """Per-forward precomputation: frozen attention / edge masking.
 
     Returns the solve's FuncAux and the (possibly re-masked) graph.
@@ -211,17 +217,17 @@ def build_aux(bparams, cfg: Config, g: Graph, x, training: bool
         # block_transformer_rewiring.py:185-241); its densify/sparsify graph
         # surgery runs as between-epoch host hooks (rewiring.edges) because
         # resizing edge_index inside the solve would recompile every epoch.
-        att = _block_attention(bparams, cfg, g, x)          # [E, H]
+        att = _block_attention(bparams, cfg, g, x, stripe_plan)          # [E, H]
         return FuncAux(attention=att, x0=x0, edge_weight=g.weight), g
 
     if cfg.block == "mixed":
-        att = _block_attention(bparams, cfg, g, x)
+        att = _block_attention(bparams, cfg, g, x, stripe_plan)
         gamma = jax.nn.sigmoid(bparams["gamma"][0])
         mixed = jnp.mean(att, axis=1) * (1.0 - gamma) + g.weight * gamma
         return FuncAux(attention=mixed, x0=x0, edge_weight=g.weight), g
 
     if cfg.block == "hard_attention":
-        att = _block_attention(bparams, cfg, g, x)          # [E, H]
+        att = _block_attention(bparams, cfg, g, x, stripe_plan)          # [E, H]
         if training:
             # the reference computes the subsampled weights under no_grad
             # (block_transformer_hard_attention.py:52-65)
@@ -250,7 +256,7 @@ def block_forward(bparams, cfg: Config, g: Graph, x, training: bool,
     always runs the plain (non-adjoint) primal (block_constant.py:35-70).
     ``spmm_fn(x, w)`` overrides the laplacian aggregation engine.
     """
-    aux, g_run = build_aux(bparams, cfg, g, x, training)
+    aux, g_run = build_aux(bparams, cfg, g, x, training, stripe_plan)
 
     reg_names, _ = active_regularizers(cfg)
     use_reg = training and len(reg_names) > 0

@@ -48,7 +48,9 @@ class GNNEarlyModel(GNNModel):
         if g.num_nodes > n:  # pallas plan layout pads the node count
             x0 = jnp.pad(x0, ((0, g.num_nodes - n), (0, 0)))
 
-        aux, g_run = build_aux(params["block"], cfg, g, x0, training=False)
+        aux, g_run = build_aux(params["block"], cfg, g, x0, training=False,
+                               stripe_plan=(self.stripe_plan if graph is None
+                                            else None))
         # the model's engines belong to self.graph; a graph override must
         # fall back to the XLA path
         rhs = make_rhs(cfg, g_run,

@@ -607,3 +607,124 @@ def _sg2_bwd(plan, dts, cts):
 
 
 stripe_gather2.defvjp(_sg2_fwd, _sg2_bwd)
+
+
+# ---------------------------------------------------------------------------
+# stripe segment softmax / squareplus (frozen-attention normalisation)
+# ---------------------------------------------------------------------------
+# The attention/mixed/hard/rewire blocks freeze per-edge attention once per
+# forward via a per-segment softmax (block_transformer_attention.py:36-39 /
+# PyG softmax). XLA's scatter-max + scatter-add cost ~40 + 37 ms at arxiv
+# scale (2.7M edges) even with sorted-index hints (31 ms each) — ~25x the
+# stripe MXU kernels. Softmax is shift-invariant per segment under ANY
+# per-row constant, so instead of an exact segment max this path shifts by
+# each row's FIRST edge score (a static-index gather — the plan knows every
+# row's first slot), composes exp / denominator / division from the f32
+# stripe gather+scatter primitives, and falls back to the exact XLA
+# composition through one lax.cond if any exp left f32 range. Runs OUTSIDE
+# the solver loop (frozen attention), where a cond costs nothing.
+
+
+def first_slot_of_rows(plan: StripePlan) -> np.ndarray:
+    """int32[num_nodes]: the first plan slot of each row (0 if edgeless)."""
+    slots = np.arange(plan.capacity)
+    rows = (plan.chunk_rows[slots // plan.chunk] * plan.block_n
+            + plan.row_local)
+    rv = rows[plan.valid]
+    sv = slots[plan.valid]
+    first = np.zeros(plan.num_nodes, np.int32)
+    uniq, idx = np.unique(rv, return_index=True)
+    first[uniq] = sv[idx]
+    return first
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def stripe_gather_f32(plan: StripePlan, table: jax.Array) -> jax.Array:
+    """Differentiable f32 out[e] = table[row[e]] (full-precision one-hot)."""
+    return _stripe_gather_call(plan, table, dtype=jnp.float32)
+
+
+def _sgf_fwd(plan, table):
+    return (_stripe_gather_call(plan, table, dtype=jnp.float32),
+            jnp.zeros((0,), table.dtype))
+
+
+def _sgf_bwd(plan, dt, ct):
+    return (_stripe_scatter_call(plan, ct, dtype=jnp.float32)
+            .astype(dt.dtype),)
+
+
+stripe_gather_f32.defvjp(_sgf_fwd, _sgf_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def stripe_scatter_add_f32(plan: StripePlan, vals: jax.Array) -> jax.Array:
+    """Differentiable f32 out[n] = Σ_e∈rows(n) vals[e]. Invalid slots = 0."""
+    return _stripe_scatter_call(plan, vals, dtype=jnp.float32)
+
+
+def _ssf_fwd(plan, vals):
+    return (_stripe_scatter_call(plan, vals, dtype=jnp.float32),
+            jnp.zeros((0,), vals.dtype))
+
+
+def _ssf_bwd(plan, dt, ct):
+    g = _stripe_gather_call(plan, ct, dtype=jnp.float32)
+    return ((g * jnp.asarray(plan.valid, g.dtype)[:, None])
+            .astype(dt.dtype),)
+
+
+stripe_scatter_add_f32.defvjp(_ssf_fwd, _ssf_bwd)
+
+
+def stripe_segment_softmax(plan: StripePlan, scores: jax.Array,
+                           exact_fn) -> jax.Array:
+    """Per-row softmax of scores [capacity, H] in plan slot order.
+
+    Exactly segment_softmax over rows (PyG semantics) while every exp stays
+    inside f32 range of the row's first-edge shift; otherwise one lax.cond
+    re-runs ``exact_fn()`` (the XLA composition). Gradients flow through
+    the stripe custom VJPs; the shift is stop_gradient (shift-invariance
+    makes the true softmax gradient shift-free)."""
+    cap, h = scores.shape
+    hp = max(8, h)
+    s = scores.astype(jnp.float32)
+    if hp > h:
+        s = jnp.pad(s, ((0, 0), (0, hp - h)))
+    first = jnp.asarray(first_slot_of_rows(plan))
+    c = jax.lax.stop_gradient(s)[first]                       # [N, hp]
+    c_e = jax.lax.stop_gradient(stripe_gather_f32(plan, c))   # [cap, hp]
+    v = jnp.asarray(plan.valid, jnp.float32)[:, None]
+    ex = jnp.exp(s - c_e) * v
+    den = stripe_scatter_add_f32(plan, ex)                    # [N, hp]
+    den_e = stripe_gather_f32(plan, den)
+    att = ex / (den_e + 1e-16)
+    # The shift is a member score, so den >= exp(0) = 1 for every row with
+    # edges: per-edge UNDERFLOW relative to the shift means a true softmax
+    # weight <= exp(-87)/1 — exactly 0 in f32 either way. Only OVERFLOW
+    # (score > shift + 88 -> ex = inf -> den = inf) needs the fallback, and
+    # den [N, hp] carries it — no [capacity]-sized reduction required.
+    bad = jnp.any(~jnp.isfinite(den))
+    return jax.lax.cond(bad, lambda _: exact_fn(),
+                        lambda _: att[:, :h], None)
+
+
+def stripe_segment_squareplus(plan: StripePlan, scores: jax.Array
+                              ) -> jax.Array:
+    """Per-row squareplus normalisation (reference utils.py:179-208: global
+    max shift, which squareplus differentiates through) with the denominator
+    on the stripe kernels. Exact up to f32 — squareplus never under/overflows
+    after the global shift, so no fallback is needed."""
+    cap, h = scores.shape
+    hp = max(8, h)
+    v = jnp.asarray(plan.valid, jnp.float32)[:, None]
+    s = scores.astype(jnp.float32)
+    smax = jnp.max(jnp.where(v > 0, s, -jnp.inf))
+    smax = jnp.where(jnp.isfinite(smax), smax, 0.0)
+    sm = s - smax
+    u = (sm + jnp.sqrt(sm * sm + 4.0)) * 0.5 * v
+    if hp > h:
+        u = jnp.pad(u, ((0, 0), (0, hp - h)))
+    den = stripe_scatter_add_f32(plan, u)
+    den_e = stripe_gather_f32(plan, den)
+    return (u / (den_e + 1e-16))[:, :h]
