@@ -58,6 +58,12 @@ class Config:
     method: str = "dopri5"             # dopri5 euler rk4 midpoint adaptive_heun
     step_size: float = 1.0
     max_iters: int = 100
+    # rematerialise fixed-grid solver steps in backprop: O(steps) activation
+    # memory becomes O(1) steps' worth at the cost of one extra forward —
+    # the non-adjoint counterpart of the reference's odeint_adjoint memory
+    # strategy. Required for full-batch arxiv-scale training without the
+    # adjoint (stored fused-RHS residuals exceed HBM otherwise).
+    remat: bool = False
     adjoint: bool = False
     adjoint_method: str = "adaptive_heun"
     adjoint_step_size: float = 1.0

@@ -109,32 +109,47 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
     use_mega = (stripe_plan is not None
                 and cfg.attention_type == "scaled_dot"
                 and not cfg.square_plus and not cfg.reweight_attention
-                and not beltrami_exp and not exact_softmax)
+                and not beltrami_exp)
     if use_mega:
-        from graph_neural_pde_tpu.ops.pallas.fused_rhs import fused_rhs_ax
+        from graph_neural_pde_tpu.ops.pallas.fused_rhs import (
+            fused_rhs_ax, fused_rowmax)
 
         x_g = x.astype(pay_dt)[g.col]
         # softmax is shift-invariant, so NO max pass is needed: exp runs
         # unshifted (exact while scores stay within f32's ±88 exp range).
         # Both failure modes — a whole segment underflowing to 0 OR any
         # score overflowing to inf — poison the output with NaN via an
-        # elementwise select; block_forward re-solves with the exact
-        # per-segment composition once, OUTSIDE the solver loop. (A
-        # lax.cond here, inside the solver's scan/while body, measured
-        # 151 ms/eval vs 11 ms without — the branch kills XLA's ability
-        # to pipeline the Pallas kernel across loop iterations.)
+        # elementwise select; block_forward re-solves with exact_softmax
+        # once, OUTSIDE the solver loop. (A lax.cond here, inside the
+        # solver's scan/while body, measured 151 ms/eval vs 11 ms without —
+        # the branch kills XLA's ability to pipeline the Pallas kernel
+        # across loop iterations.)
         gmax = jnp.zeros((), jnp.float32)   # f32: its cotangent is f32
+        shifts = None
+        if exact_softmax:
+            # EXACT mode: shift every edge by its row's true score max
+            # (fused_rowmax) — exp can no longer leave f32 range and ax is
+            # invariant to per-row shifts, so this equals the per-segment
+            # softmax composition without its [cap, ·]-padded HBM buffers
+            # (~5 GB at arxiv scale in the training step). Shifts carry no
+            # gradient (shift-invariance) — 1-D [cap] gathers, stop_grad.
+            sg = jax.lax.stop_gradient
+            q = sg(x.astype(jnp.float32) @ ap["Q"]["w"] + ap["Q"]["b"])
+            smax = fused_rowmax(stripe_plan, q, sg(ap["K"]["w"]),
+                                sg(ap["K"]["b"]), heads=h, x_g=sg(x_g))
+            shifts = tuple(smax[:, hh][g.row] for hh in range(h))
         # undifferentiated forward = scratch-accumulator kernel (the [N,H·D]
         # numerators never reach HBM); under vjp the num/den kernel runs
         ax, den = fused_rhs_ax(stripe_plan, h, False,
                                ap["Q"]["w"], ap["Q"]["b"],
                                ap["K"]["w"], ap["K"]["b"],
-                               x, x_g, gmax)
-        den_h = den[:, :h]
-        deg = jnp.asarray(stripe_plan.node_degree)
-        bad = jnp.any(((den_h <= 0.0) & (deg[:, None] > 0))
-                      | ~jnp.isfinite(den_h))
-        ax = jnp.where(bad, jnp.asarray(jnp.nan, ax.dtype), ax)
+                               x, x_g, gmax, shifts)
+        if not exact_softmax:
+            den_h = den[:, :h]
+            deg = jnp.asarray(stripe_plan.node_degree)
+            bad = jnp.any(((den_h <= 0.0) & (deg[:, None] > 0))
+                          | ~jnp.isfinite(den_h))
+            ax = jnp.where(bad, jnp.asarray(jnp.nan, ax.dtype), ax)
         f = _alpha(cfg, fparams) * (ax - x)
         return _source(cfg, fparams, f, aux)
 

@@ -53,9 +53,25 @@ def _head_selector(att_dim: int, heads: int, hp: int) -> np.ndarray:
     return sel
 
 
+def _shift_matrix(shift_refs, chunk, heads, hp):
+    """[chunk, hp] per-edge shift from per-head 1-D refs (1-D [cap] f32
+    arrays tile padding-free in HBM; a [cap, hp] form would pad 16x)."""
+    cols = [shift_refs[h][:][:, None] for h in range(heads)]
+    if hp > heads:
+        cols.append(jnp.zeros((chunk, hp - heads), jnp.float32))
+    return jnp.concatenate(cols, axis=1)
+
+
 def _rhs_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref, qb_ref,
-                kw_ref, kb_ref, sel_ref, gmax_ref, num_ref, den_ref, *,
-                chunk, block_n, d, att, heads, hp, d_k, square_plus, dtype):
+                kw_ref, kb_ref, sel_ref, gmax_ref, *rest,
+                chunk, block_n, d, att, heads, hp, d_k, square_plus, dtype,
+                with_shift=False):
+    if with_shift:
+        shift_refs = rest[:heads]
+        num_ref, den_ref = rest[heads:]
+    else:
+        shift_refs = None
+        num_ref, den_ref = rest
     i = pl.program_id(0)
     prev = cr_ref[jnp.maximum(i - 1, 0)]
 
@@ -94,6 +110,8 @@ def _rhs_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref, qb_ref,
                 preferred_element_type=jnp.float32) / math.sqrt(d_k)
 
     sm = s - gmax_ref[0, 0]
+    if with_shift:
+        sm = sm - _shift_matrix(shift_refs, chunk, heads, hp)
     if square_plus:
         u = (sm + jnp.sqrt(sm * sm + 4.0)) * 0.5
     else:
@@ -115,9 +133,15 @@ def _rhs_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref, qb_ref,
 
 
 def _rhs_kernel_ax(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref,
-                   qb_ref, kw_ref, kb_ref, sel_ref, gmax_ref, ax_ref,
-                   den_ref, num_scr, *, chunk, block_n, d, att, heads, hp,
-                   d_k, square_plus, dtype):
+                   qb_ref, kw_ref, kb_ref, sel_ref, gmax_ref, *rest,
+                   chunk, block_n, d, att, heads, hp,
+                   d_k, square_plus, dtype, with_shift=False):
+    if with_shift:
+        shift_refs = rest[:heads]
+        ax_ref, den_ref, num_scr = rest[heads:]
+    else:
+        shift_refs = None
+        ax_ref, den_ref, num_scr = rest
     """Evaluation variant: the [N, H·D] numerators accumulate in VMEM
     scratch and only the per-head-averaged ax = (1/H)·Σ_h num_h/(den_h+eps)
     (plus the small den, for the underflow guard) is written to HBM —
@@ -148,6 +172,8 @@ def _rhs_kernel_ax(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref,
     s = jnp.dot(prod, sel_ref[:].astype(dtype),
                 preferred_element_type=jnp.float32) / math.sqrt(d_k)
     sm = s - gmax_ref[0, 0]
+    if with_shift:
+        sm = sm - _shift_matrix(shift_refs, chunk, heads, hp)
     if square_plus:
         u = (sm + jnp.sqrt(sm * sm + 4.0)) * 0.5
     else:
@@ -170,8 +196,12 @@ def _rhs_kernel_ax(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref,
 
 def _fused_ax_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
                    heads: int, square_plus: bool, dtype=jnp.bfloat16,
-                   interpret: bool | None = None):
-    """(ax [N, D], den [N, Hp]) via the scratch-accumulator kernel."""
+                   interpret: bool | None = None, shifts=None):
+    """(ax [N, D], den [N, Hp]) via the scratch-accumulator kernel.
+
+    ``shifts``: optional per-head tuple of 1-D [cap] f32 per-edge score
+    shifts (e.g. each edge's row max) — makes the in-kernel softmax exact
+    for arbitrarily spread scores (ax is invariant to any per-row shift)."""
     cap, d = x_g.shape
     att = qw.shape[1]
     assert cap == plan.capacity and kw.shape == (d, att)
@@ -187,22 +217,36 @@ def _fused_ax_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
     kb2 = jnp.reshape(kb.astype(jnp.float32), (1, att))
     qb2 = jnp.reshape(qb.astype(jnp.float32), (1, att))
 
+    with_shift = shifts is not None
+    if with_shift:
+        # EXACT mode: widely spread scores are the very reason this mode
+        # runs — bf16 score rounding (~0.5% relative) would be magnified
+        # through exp, so the whole in-kernel pipeline stays f32
+        dtype = jnp.float32
+    in_specs = [
+        pl.BlockSpec((chunk,), lambda i, cr: (i,)),          # rowl
+        pl.BlockSpec((chunk,), lambda i, cr: (i,)),          # valid
+        pl.BlockSpec((chunk, d), lambda i, cr: (i, 0)),      # x_e
+        pl.BlockSpec((block_n, d), lambda i, cr: (cr[i], 0)),  # x rows
+        pl.BlockSpec((d, att), lambda i, cr: (0, 0)),        # Q_w
+        pl.BlockSpec((1, att), lambda i, cr: (0, 0)),        # Q_b
+        pl.BlockSpec((d, att), lambda i, cr: (0, 0)),        # K_w
+        pl.BlockSpec((1, att), lambda i, cr: (0, 0)),        # K_b
+        pl.BlockSpec((att, hp), lambda i, cr: (0, 0)),       # selector
+        pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
+                     memory_space=pltpu.SMEM),               # gmax
+    ]
+    args = [jnp.asarray(plan.chunk_rows), jnp.asarray(plan.row_local),
+            valid, x_g, x_n, qw, qb2, kw, kb2, sel, gmax2]
+    if with_shift:
+        for sh in shifts:
+            assert sh.shape == (cap,)
+            in_specs.append(pl.BlockSpec((chunk,), lambda i, cr: (i,)))
+            args.append(sh.astype(jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nc,),
-        in_specs=[
-            pl.BlockSpec((chunk,), lambda i, cr: (i,)),          # rowl
-            pl.BlockSpec((chunk,), lambda i, cr: (i,)),          # valid
-            pl.BlockSpec((chunk, d), lambda i, cr: (i, 0)),      # x_e
-            pl.BlockSpec((block_n, d), lambda i, cr: (cr[i], 0)),  # x rows
-            pl.BlockSpec((d, att), lambda i, cr: (0, 0)),        # Q_w
-            pl.BlockSpec((1, att), lambda i, cr: (0, 0)),        # Q_b
-            pl.BlockSpec((d, att), lambda i, cr: (0, 0)),        # K_w
-            pl.BlockSpec((1, att), lambda i, cr: (0, 0)),        # K_b
-            pl.BlockSpec((att, hp), lambda i, cr: (0, 0)),       # selector
-            pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
-                         memory_space=pltpu.SMEM),               # gmax
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((block_n, d), lambda i, cr: (cr[i], 0)),
             pl.BlockSpec((block_n, hp), lambda i, cr: (cr[i], 0)),
@@ -211,7 +255,8 @@ def _fused_ax_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
     )
     kernel = functools.partial(
         _rhs_kernel_ax, chunk=chunk, block_n=block_n, d=d, att=att,
-        heads=heads, hp=hp, d_k=d_k, square_plus=square_plus, dtype=dtype)
+        heads=heads, hp=hp, d_k=d_k, square_plus=square_plus, dtype=dtype,
+        with_shift=with_shift)
     flops = 2 * nc * chunk * (block_n * (att + heads * d + hp) + d * att)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
@@ -222,13 +267,12 @@ def _fused_ax_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
             flops=flops, bytes_accessed=nc * chunk * d * 2,
             transcendentals=nc * chunk * hp),
         interpret=interpret,
-    )(jnp.asarray(plan.chunk_rows), jnp.asarray(plan.row_local), valid, x_g,
-      x_n, qw, qb2, kw, kb2, sel, gmax2)
+    )(*args)
 
 
 def _fused_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
                 heads: int, square_plus: bool, dtype=jnp.bfloat16,
-                interpret: bool | None = None):
+                interpret: bool | None = None, shifts=None):
     cap, d = x_g.shape
     att = qw.shape[1]
     assert cap == plan.capacity and kw.shape == (d, att)
@@ -244,22 +288,36 @@ def _fused_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
     kb2 = jnp.reshape(kb.astype(jnp.float32), (1, att))
     qb2 = jnp.reshape(qb.astype(jnp.float32), (1, att))
 
+    with_shift = shifts is not None
+    if with_shift:
+        # EXACT mode: widely spread scores are the very reason this mode
+        # runs — bf16 score rounding (~0.5% relative) would be magnified
+        # through exp, so the whole in-kernel pipeline stays f32
+        dtype = jnp.float32
+    in_specs = [
+        pl.BlockSpec((chunk,), lambda i, cr: (i,)),          # rowl
+        pl.BlockSpec((chunk,), lambda i, cr: (i,)),          # valid
+        pl.BlockSpec((chunk, d), lambda i, cr: (i, 0)),      # x_e
+        pl.BlockSpec((block_n, d), lambda i, cr: (cr[i], 0)),  # x rows
+        pl.BlockSpec((d, att), lambda i, cr: (0, 0)),        # Q_w
+        pl.BlockSpec((1, att), lambda i, cr: (0, 0)),        # Q_b
+        pl.BlockSpec((d, att), lambda i, cr: (0, 0)),        # K_w
+        pl.BlockSpec((1, att), lambda i, cr: (0, 0)),        # K_b
+        pl.BlockSpec((att, hp), lambda i, cr: (0, 0)),       # selector
+        pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
+                     memory_space=pltpu.SMEM),               # gmax
+    ]
+    args = [jnp.asarray(plan.chunk_rows), jnp.asarray(plan.row_local),
+            valid, x_g, x_n, qw, qb2, kw, kb2, sel, gmax2]
+    if with_shift:
+        for sh in shifts:
+            assert sh.shape == (cap,)
+            in_specs.append(pl.BlockSpec((chunk,), lambda i, cr: (i,)))
+            args.append(sh.astype(jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nc,),
-        in_specs=[
-            pl.BlockSpec((chunk,), lambda i, cr: (i,)),          # rowl
-            pl.BlockSpec((chunk,), lambda i, cr: (i,)),          # valid
-            pl.BlockSpec((chunk, d), lambda i, cr: (i, 0)),      # x_e
-            pl.BlockSpec((block_n, d), lambda i, cr: (cr[i], 0)),  # x rows
-            pl.BlockSpec((d, att), lambda i, cr: (0, 0)),        # Q_w
-            pl.BlockSpec((1, att), lambda i, cr: (0, 0)),        # Q_b
-            pl.BlockSpec((d, att), lambda i, cr: (0, 0)),        # K_w
-            pl.BlockSpec((1, att), lambda i, cr: (0, 0)),        # K_b
-            pl.BlockSpec((att, hp), lambda i, cr: (0, 0)),       # selector
-            pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
-                         memory_space=pltpu.SMEM),               # gmax
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((block_n, heads * d), lambda i, cr: (cr[i], 0)),
             pl.BlockSpec((block_n, hp), lambda i, cr: (cr[i], 0)),
@@ -267,7 +325,8 @@ def _fused_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
     )
     kernel = functools.partial(
         _rhs_kernel, chunk=chunk, block_n=block_n, d=d, att=att, heads=heads,
-        hp=hp, d_k=d_k, square_plus=square_plus, dtype=dtype)
+        hp=hp, d_k=d_k, square_plus=square_plus, dtype=dtype,
+        with_shift=with_shift)
     flops = 2 * nc * chunk * (block_n * (att + heads * d + hp) + d * att)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
@@ -278,8 +337,7 @@ def _fused_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
             flops=flops, bytes_accessed=nc * chunk * d * 2,
             transcendentals=nc * chunk * hp),
         interpret=interpret,
-    )(jnp.asarray(plan.chunk_rows), jnp.asarray(plan.row_local), valid, x_g,
-      x_n, qw, qb2, kw, kb2, sel, gmax2)
+    )(*args)
 
 
 def _max_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, qt_ref, kw_ref, kb_ref,
@@ -367,23 +425,113 @@ def _fused_score_max_impl(plan: StripePlan, q, kw, kb, *, heads: int, x_g,
 # for a future squareplus mega path, which needs the true global max.
 
 
-def _scores_u(plan, q, kw, kb, x_g, gmax, heads, square_plus):
-    """Composition replica of the in-kernel math (for the backward pass)."""
+def _rowmax_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, qt_ref, kw_ref,
+                   kb_ref, sel_ref, out_ref, *, chunk, block_n, att, heads,
+                   hp, d_k, dtype):
+    """Per-ROW maxima of the scaled-dot scores, accumulated per node block."""
+    i = pl.program_id(0)
+    prev = cr_ref[jnp.maximum(i - 1, 0)]
+
+    @pl.when((i == 0) | (cr_ref[i] != prev))
+    def _():
+        out_ref[:] = jnp.full_like(out_ref, -jnp.inf)
+
+    rowl = rowl_ref[:]
+    xe = xe_ref[:].astype(dtype)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (block_n, chunk), 0)
+    onehot = rowl[None, :] == iota_n
+    pt = onehot.astype(dtype)
+    src = jax.lax.dot_general(
+        pt, qt_ref[:].astype(dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    k_e = jnp.dot(xe, kw_ref[:].astype(dtype),
+                  preferred_element_type=jnp.float32) + kb_ref[:]
+    prod = (src * k_e).astype(dtype)
+    s = jnp.dot(prod, sel_ref[:].astype(dtype),
+                preferred_element_type=jnp.float32) / math.sqrt(d_k)
+    s = jnp.where(valid_ref[:][:, None] > 0, s, -jnp.inf)
+    cols = [jnp.max(jnp.where(onehot, s[:, h][None, :], -jnp.inf),
+                    axis=1, keepdims=True) for h in range(hp)]
+    out_ref[:] = jnp.maximum(out_ref[:], jnp.concatenate(cols, axis=1))
+
+
+def fused_rowmax(plan: StripePlan, q, kw, kb, *, heads: int, x_g,
+                 dtype=jnp.bfloat16, interpret: bool | None = None):
+    """[num_nodes, Hp] per-row score maxima (edgeless rows -> 0).
+
+    The shift source for the EXACT in-kernel softmax: ax is invariant to
+    any per-row shift, and shifting by the true row max keeps every exp in
+    f32 range, so fused_rhs_ax with these shifts equals the per-segment
+    softmax composition with none of its [cap, ·]-padded HBM buffers
+    (~5 GB at arxiv scale in the training step)."""
+    cap, d = x_g.shape
+    att = q.shape[1]
+    hp = max(8, heads)
+    d_k = att // heads
+    chunk, block_n, nc = plan.chunk, plan.block_n, plan.n_chunks
+    if interpret is None:
+        interpret = not _on_tpu()
+    sel = jnp.asarray(_head_selector(att, heads, hp))
+    valid = jnp.asarray(plan.valid, jnp.float32)
+    kb2 = jnp.reshape(kb.astype(jnp.float32), (1, att))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((chunk,), lambda i, cr: (i,)),
+            pl.BlockSpec((chunk,), lambda i, cr: (i,)),
+            pl.BlockSpec((chunk, d), lambda i, cr: (i, 0)),
+            pl.BlockSpec((block_n, att), lambda i, cr: (cr[i], 0)),
+            pl.BlockSpec((d, att), lambda i, cr: (0, 0)),
+            pl.BlockSpec((1, att), lambda i, cr: (0, 0)),
+            pl.BlockSpec((att, hp), lambda i, cr: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_n, hp), lambda i, cr: (cr[i], 0)),
+    )
+    kernel = functools.partial(_rowmax_kernel, chunk=chunk, block_n=block_n,
+                               att=att, heads=heads, hp=hp, d_k=d_k,
+                               dtype=dtype)
+    smax = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.num_nodes, hp), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(plan.chunk_rows), jnp.asarray(plan.row_local), valid, x_g,
+      q, kw, kb2, sel)
+    return jnp.where(jnp.isfinite(smax), smax, 0.0)
+
+
+def _scores_u(plan, q, kw, kb, x_g, gmax, heads, square_plus, shifts=None):
+    """Composition replica of the in-kernel math (for the backward pass).
+
+    Returns (src [cap, ATT], k_e [cap, ATT], us, dudsms) with ``us`` and
+    ``dudsms`` per-head LISTS of 1-D [cap] arrays. Shapes are deliberate:
+    TPU HBM tiling pads a trailing dim to 128 lanes and the second-minor to
+    8 sublanes, so a [cap, H] array costs 64x its logical bytes and a
+    [cap, H, d_k] rank-3 costs 4-8x — at arxiv scale (cap = 2.7M) those
+    paddings alone overflowed HBM in the training step. 1-D [cap] arrays
+    tile padding-free."""
     att = q.shape[1]
     d_k = att // heads
-    src = _stripe_gather_call(plan, q)                         # [cap, ATT]
+    src = _stripe_gather_call(
+        plan, q, dtype=jnp.float32 if shifts is not None else jnp.bfloat16)
     k_e = x_g.astype(jnp.float32) @ kw + kb
-    prod = (src * k_e).reshape(-1, heads, d_k)
-    s = jnp.sum(prod, axis=-1) / math.sqrt(d_k)                # [cap, H]
-    sm = s - gmax
-    if square_plus:
-        u = (sm + jnp.sqrt(sm * sm + 4.0)) * 0.5
-        dudsm = (1.0 + sm / jnp.sqrt(sm * sm + 4.0)) * 0.5
-    else:
-        u = jnp.exp(sm)
-        dudsm = u
-    v = jnp.asarray(plan.valid, jnp.float32)[:, None]
-    return src, k_e, u * v, dudsm * v
+    v1 = jnp.asarray(plan.valid, jnp.float32)
+    us, dudsms = [], []
+    for h in range(heads):
+        sl = slice(h * d_k, (h + 1) * d_k)
+        s = jnp.sum(src[:, sl] * k_e[:, sl], axis=1) / math.sqrt(d_k)
+        sm = s - gmax
+        if shifts is not None:
+            sm = sm - shifts[h]
+        if square_plus:
+            u = (sm + jnp.sqrt(sm * sm + 4.0)) * 0.5
+            dudsm = (1.0 + sm / jnp.sqrt(sm * sm + 4.0)) * 0.5
+        else:
+            u = jnp.exp(sm)
+            dudsm = u
+        us.append(u * v1)
+        dudsms.append(dudsm * v1)
+    return src, k_e, us, dudsms
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -407,37 +555,52 @@ def _fused_fwd(plan, heads, square_plus, qw, qb, kw, kb, x_n, x_g, gmax):
 
 
 def _fused_bwd(plan, heads, square_plus, res, cts):
-    qw, qb, kw, kb, x_n, x_g, gmax = res
+    """Hand-derived backward over per-head 1-D [cap] intermediates.
+
+    The [cap, H(, D)]-shaped forms of these arrays pad 4-64x under TPU HBM
+    tiling (see _scores_u); the headwise slicing keeps every materialised
+    per-edge buffer either 128-wide (padding-free) or 1-D."""
+    if len(res) == 8:
+        qw, qb, kw, kb, x_n, x_g, gmax, shifts = res
+    else:
+        qw, qb, kw, kb, x_n, x_g, gmax = res
+        shifts = None
     ct_num, ct_den = cts
     att = qw.shape[1]
     d = x_g.shape[1]
     d_k = att // heads
-    hp = ct_den.shape[1]
 
     xn_f = x_n.astype(jnp.float32)
     q = xn_f @ qw + qb
-    src, k_e, u, dudsm = _scores_u(plan, q, kw, kb, x_g, gmax, heads,
-                                   square_plus)
-    dvals, dup = _stripe_gather2_call(plan, ct_num, ct_den)
-    m = jnp.asarray(plan.valid, jnp.float32)[:, None]
-    dvals = (dvals * m).reshape(-1, heads, d)                  # [cap, H, D]
-    dup = dup * m                                              # [cap, Hp]
+    src, k_e, us, dudsms = _scores_u(plan, q, kw, kb, x_g, gmax, heads,
+                                     square_plus, shifts=shifts)
+    dvals, dup = _stripe_gather2_call(plan, ct_num, ct_den)    # [cap, H·D]
+    m1 = jnp.asarray(plan.valid, jnp.float32)
 
     xf = x_g.astype(jnp.float32)
-    du = jnp.einsum("ehd,ed->eh", dvals, xf) + dup[:, :heads]
-    ds = du * dudsm                                            # [cap, H]
-    dgmax = -jnp.sum(ds)
-    dprod = jnp.repeat(ds / math.sqrt(d_k), d_k, axis=1)       # [cap, ATT]
-    dsrc = dprod * k_e
-    dk_e = dprod * src
+    dgmax = jnp.zeros((), jnp.float32)
+    dsrc_cols, dke_cols = [], []
+    dxg_acc = None
+    for h in range(heads):
+        sl = slice(h * d_k, (h + 1) * d_k)
+        dv_h = dvals[:, h * d:(h + 1) * d] * m1[:, None]       # [cap, D]
+        du = jnp.sum(dv_h * xf, axis=1) + dup[:, h] * m1       # [cap]
+        ds = du * dudsms[h]                                    # [cap]
+        dgmax = dgmax - jnp.sum(ds)
+        c = (ds / math.sqrt(d_k))[:, None]
+        dsrc_cols.append(c * k_e[:, sl])
+        dke_cols.append(c * src[:, sl])
+        term = us[h][:, None] * dv_h
+        dxg_acc = term if dxg_acc is None else dxg_acc + term
+    dsrc = jnp.concatenate(dsrc_cols, axis=1)                  # [cap, ATT]
+    dk_e = jnp.concatenate(dke_cols, axis=1)
     dq = _stripe_scatter_call(plan, dsrc)[: q.shape[0]]
     dqw = xn_f.T @ dq
     dqb = jnp.sum(dq, axis=0)
     dx_n = (dq @ qw.T).astype(x_n.dtype)
     dkw = xf.T @ dk_e
     dkb = jnp.sum(dk_e, axis=0)
-    dx_g = (jnp.einsum("eh,ehd->ed", u, dvals) + dk_e @ kw.T
-            ).astype(x_g.dtype)
+    dx_g = (dxg_acc + dk_e @ kw.T).astype(x_g.dtype)
     return dqw, dqb, dkw, dkb, dx_n, dx_g, dgmax
 
 
@@ -455,29 +618,37 @@ def _ax_from_numden(num, den, heads, d):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def fused_rhs_ax(plan: StripePlan, heads: int, square_plus: bool,
-                 qw, qb, kw, kb, x_n, x_g, gmax):
+                 qw, qb, kw, kb, x_n, x_g, gmax, shifts=None):
     """(ax [N, D], den [N, Hp]) — the head-averaged normalised aggregate.
 
     The undifferentiated primal runs the scratch-accumulator kernel
     (_rhs_kernel_ax): numerators never touch HBM. Under vjp the fwd rule
     falls back to the num/den kernel (residuals feed the hand-derived
     backward), so training keeps the existing gradient path bit-for-bit.
+
+    ``shifts``: optional per-head tuple of 1-D [cap] per-edge score shifts
+    (the EXACT-softmax mode: pass each edge's row max via fused_rowmax —
+    ax is shift-invariant per row, so gradients w.r.t. shifts are
+    identically zero and are returned as zeros).
     """
     ax, den = _fused_ax_call(plan, qw, qb, kw, kb, x_n, x_g, gmax,
-                             heads=heads, square_plus=square_plus)
+                             heads=heads, square_plus=square_plus,
+                             shifts=shifts)
     return ax, den
 
 
-def _ax_fwd(plan, heads, square_plus, qw, qb, kw, kb, x_n, x_g, gmax):
+def _ax_fwd(plan, heads, square_plus, qw, qb, kw, kb, x_n, x_g, gmax,
+            shifts=None):
     num, den = _fused_call(plan, qw, qb, kw, kb, x_n, x_g, gmax,
-                           heads=heads, square_plus=square_plus)
+                           heads=heads, square_plus=square_plus,
+                           shifts=shifts)
     d = x_g.shape[1]
     ax = _ax_from_numden(num, den, heads, d)
-    return (ax, den), (qw, qb, kw, kb, x_n, x_g, gmax, num, den)
+    return (ax, den), (qw, qb, kw, kb, x_n, x_g, gmax, num, den, shifts)
 
 
 def _ax_bwd(plan, heads, square_plus, res, cts):
-    qw, qb, kw, kb, x_n, x_g, gmax, num, den = res
+    qw, qb, kw, kb, x_n, x_g, gmax, num, den, shifts = res
     ct_ax, ct_den_in = cts
     d = x_g.shape[1]
     recip = 1.0 / (den[:, :heads] + 1e-16)
@@ -486,8 +657,12 @@ def _ax_bwd(plan, heads, square_plus, res, cts):
     upd = [-(jnp.sum(ct_ax * num[:, h * d:(h + 1) * d], axis=1)
              * recip[:, h] ** 2) / heads for h in range(heads)]
     ct_den = ct_den_in.at[:, :heads].add(jnp.stack(upd, axis=1))
-    return _fused_bwd(plan, heads, square_plus,
-                      (qw, qb, kw, kb, x_n, x_g, gmax), (ct_num, ct_den))
+    grads = _fused_bwd(plan, heads, square_plus,
+                       (qw, qb, kw, kb, x_n, x_g, gmax, shifts),
+                       (ct_num, ct_den))
+    ct_shifts = (None if shifts is None
+                 else tuple(jnp.zeros_like(s) for s in shifts))
+    return grads + (ct_shifts,)
 
 
 fused_rhs_ax.defvjp(_ax_fwd, _ax_bwd)

@@ -51,6 +51,7 @@ def segment_softmax(scores: jax.Array, index: jax.Array, num_segments: int,
     ``scores`` is [E] or [E, H]; the softmax is over all edges sharing
     ``index[e]``. Padded edges (mask False) get probability 0 and do not
     affect the normalisation. Matches PyG ``softmax(src, index)``.
+
     """
     if mask is not None:
         shape = mask.shape + (1,) * (scores.ndim - mask.ndim)

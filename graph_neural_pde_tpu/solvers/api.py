@@ -59,6 +59,7 @@ class SolverOptions:
             atol=cfg.atol_adjoint if adjoint else cfg.atol,
             step_size=cfg.adjoint_step_size if adjoint else cfg.step_size,
             max_steps=max_steps,
+            remat=getattr(cfg, "remat", False) and not adjoint,
         )
 
 
