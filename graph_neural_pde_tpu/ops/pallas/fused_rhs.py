@@ -136,18 +136,18 @@ def _rhs_kernel_ax(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref,
                    qb_ref, kw_ref, kb_ref, sel_ref, gmax_ref, *rest,
                    chunk, block_n, d, att, heads, hp,
                    d_k, square_plus, dtype, with_shift=False):
-    if with_shift:
-        shift_refs = rest[:heads]
-        ax_ref, den_ref, num_scr = rest[heads:]
-    else:
-        shift_refs = None
-        ax_ref, den_ref, num_scr = rest
     """Evaluation variant: the [N, H·D] numerators accumulate in VMEM
     scratch and only the per-head-averaged ax = (1/H)·Σ_h num_h/(den_h+eps)
     (plus the small den, for the underflow guard) is written to HBM —
     removing the num write + re-read + epilogue division that cost ~0.8 ms
     per RHS eval at arxiv scale. The division runs on the running partials
     every chunk (cheap VPU) so the block's final write is complete."""
+    if with_shift:
+        shift_refs = rest[:heads]
+        ax_ref, den_ref, num_scr = rest[heads:]
+    else:
+        shift_refs = None
+        ax_ref, den_ref, num_scr = rest
     i = pl.program_id(0)
     prev = cr_ref[jnp.maximum(i - 1, 0)]
 
