@@ -136,7 +136,10 @@ def verify_kernels_on_device():
 
     CPU CI only ever exercises interpret mode; this pins the compiled
     kernels every bench run (VERDICT r1: real-TPU kernel tests in the bench
-    session)."""
+    session). Round 3 adds the BACKWARD kernels: the _bwd_kernel mega pass
+    and the column-plan dx scatter, checked against the stripe composition
+    and a numpy scatter oracle respectively — the gradients all training
+    rides (VERDICT r2 #6)."""
     import numpy as np
     from graph_neural_pde_tpu.ops.pallas.fused_rhs import (
         _fused_call, _fused_score_max_impl)
@@ -199,8 +202,66 @@ def verify_kernels_on_device():
     dscale = np.abs(wden).max() + 1e-9
     assert np.abs(np.asarray(fd)[:, :heads] - wden).max() / dscale < 3e-2, \
         "fused den"
+
+    # ---- backward: the mega kernel vs the stripe composition ------------
+    from graph_neural_pde_tpu.ops.pallas.fused_rhs import (
+        _fused_bwd, _fused_bwd_composition)
+    hp = max(8, heads)
+    ct_num = jnp.asarray(rng.normal(size=(plan.num_nodes, heads * d)),
+                         jnp.float32)
+    ct_den = jnp.asarray(rng.normal(size=(plan.num_nodes, hp)), jnp.float32)
+    res = (qw, qb, kw, kb, x_nodes, x_g, jnp.zeros((), jnp.float32))
+    got = _fused_bwd(plan, heads, False, res, (ct_num, ct_den))
+    want = _fused_bwd_composition(plan, heads, False, res, (ct_num, ct_den))
+    for name, a, b in zip(("dqw", "dqb", "dkw", "dkb", "dx_n", "dx_g",
+                           "dgmax"), got, want):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        bs = np.abs(b).max() + 1e-9
+        assert np.abs(a - b).max() / bs < 3e-2, (
+            f"mega bwd {name}: {np.abs(a - b).max()} vs scale {bs}")
+
+    # ---- backward: column-plan dx scatter vs numpy ----------------------
+    from graph_neural_pde_tpu.ops.pallas.stripe import (
+        attach_col_plan, make_col_gather)
+    col = np.zeros(plan.capacity, np.int32)
+    col[m] = rng.integers(0, n, int(m.sum()))
+    plan_c = attach_col_plan(plan, col)
+    cg = make_col_gather(plan_c, jnp.asarray(col))
+    ct = rng.normal(size=(plan.capacity, d)).astype(np.float32)
+    ct[~m] = 0.0
+    (dx,) = jax.vjp(cg, tab)[1](jnp.asarray(ct))
+    dxw = np.zeros((plan.num_nodes, d), np.float32)
+    np.add.at(dxw, col[m], ct[m])
+    ds_ = np.abs(dxw).max() + 1e-9
+    assert np.abs(np.asarray(dx) - dxw).max() / ds_ < 3e-2, "col-plan dx"
+
     print("# kernels verified on-device (stripe gather, dual scatter, "
-          "fused RHS)", file=sys.stderr)
+          "fused RHS fwd; mega backward, col-plan dx scatter)",
+          file=sys.stderr)
+
+
+def _time_train(model, params, state, x, y, mask, reps=3, batches=2):
+    """One full optimizer step (forward + backward + update) steady rate."""
+    from graph_neural_pde_tpu.training.train import Trainer
+
+    trainer = Trainer(model)
+    opt_state = trainer.optimizer.init(params)
+    rng = jax.random.PRNGKey(0)
+    t0 = time.time()
+    out = trainer._train_step(params, state, opt_state, x, None, y, mask, rng)
+    _sync(out[3])
+    compile_s = time.time() - t0
+    nfe = int(jax.device_get(out[4]["nfe"]))
+    best = float("inf")
+    for _ in range(batches):
+        t0 = time.time()
+        for _ in range(reps):
+            out = trainer._train_step(params, state, opt_state, x, None, y,
+                                      mask, rng)
+        _sync(out[3])
+        best = min(best, (time.time() - t0) / reps)
+    return nfe, best, compile_s
 
 
 def main():
@@ -212,6 +273,31 @@ def main():
 
     nfe, dt, compile_s = _time_forward(model, params, state, x)
     edge_updates_per_sec = nfe * e_valid / dt
+
+    # TRAINING throughput (VERDICT r2 #1): one full optimizer step of the
+    # same GRAND-nl config — the reference baseline is a training stack
+    # (run_GNN.py:62-96). Both memory strategies; the better steady rate is
+    # the reported metric.
+    train_rate = None
+    train_ms = {}
+    rng_t = np.random.default_rng(1)
+    y = jnp.asarray(rng_t.integers(0, nc, size=x.shape[0]), jnp.int32)
+    mask = jnp.asarray(rng_t.random(x.shape[0]) < 0.5)
+    from graph_neural_pde_tpu.models.gnn import GNNModel
+    for mode, over in (("remat", dict(remat=True)),
+                       ("adjoint", dict(adjoint=True, adjoint_method="rk4",
+                                        adjoint_step_size=1.0))):
+        try:
+            m_t = GNNModel(model.cfg.replace(**over), nf, nc, g_raw)
+            nfe_t, dt_t, comp_t = _time_train(m_t, params, state, x, y, mask)
+            train_ms[mode] = dt_t * 1000.0
+            rate = nfe_t * e_valid / dt_t
+            train_rate = max(train_rate or 0.0, rate)
+            print(f"# train[{mode}]: {dt_t*1000:.0f} ms/step fwd_nfe={nfe_t} "
+                  f"rate={rate/1e6:.1f}M compile={comp_t:.0f}s",
+                  file=sys.stderr)
+        except Exception as ex:  # noqa: BLE001
+            print(f"# train[{mode}] failed: {ex}", file=sys.stderr)
 
     # secondary: GRAND-l solved by the Chebyshev expm expansion — the linear
     # frozen-attention family every tuned best_params config belongs to
@@ -230,6 +316,10 @@ def main():
         "unit": "edge·NFE/s",
         "vs_baseline": round(edge_updates_per_sec / baseline, 3),
     }
+    if train_rate is not None:
+        out["train_edge_updates_per_sec_nfe"] = round(train_rate, 1)
+        for mode, ms in train_ms.items():
+            out[f"train_step_ms_{mode}"] = round(ms, 1)
     if cheby_rate is not None:
         out["grand_l_cheby_edge_updates_per_sec"] = round(cheby_rate, 1)
         out["grand_l_cheby_vs_baseline"] = round(cheby_rate / baseline, 3)

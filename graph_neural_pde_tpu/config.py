@@ -158,9 +158,12 @@ class Config:
     # best for block-local graphs: pixel grids, clustered/reordered graphs)
     spmm_impl: str = "xla"
     # route the fused attention RHS's row-side gather and aggregation scatter
-    # through the stripe MXU kernels (ops/pallas/stripe.py) — TPU compiled
-    # path only; CPU tests exercise it in interpret mode
-    stripe_fused: bool = False
+    # through the stripe MXU kernels (ops/pallas/stripe.py). None = AUTO:
+    # ON when the backend is a TPU (every eligible config — including all
+    # tuned best_params reproductions — rides the fast engine by default),
+    # OFF elsewhere (CPU exercises the kernels in interpret mode only where
+    # tests opt in). Explicit True/False overrides either way.
+    stripe_fused: Optional[bool] = None
     # dtype of the per-edge payload (the x[col] gather + aggregation values):
     # bfloat16 halves the indexed-op traffic on the only random-access op in
     # the RHS (measured 13.5 -> 12.5 ms at 128 wide, larger wins when wider)

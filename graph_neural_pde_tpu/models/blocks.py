@@ -103,16 +103,23 @@ def build_stripe_engine(cfg: Config, g: Graph):
                  and not (cfg.beltrami and cfg.attention_type == "exp_kernel"))
     lap = (cfg.function == "laplacian"
            and cfg.spmm_impl != "pallas_blocked")   # blocked engine owns it
-    if not cfg.stripe_fused or not (fused_att or lap):
+    enabled = cfg.stripe_fused
+    if enabled is None:
+        # AUTO: the compiled Mosaic kernels are a TPU fast path; interpret
+        # mode on CPU is a correctness harness, not an engine
+        from graph_neural_pde_tpu.ops.pallas.stripe import _on_tpu
+        enabled = _on_tpu()
+    if not enabled or not (fused_att or lap):
         return g, None
     if cfg.rewire_KNN or cfg.edge_sampling or cfg.fa_layer:
         # the plan's index arrays are trace-time constants; between-epoch
         # graph surgery swaps the (traced) graph arrays underneath a compiled
         # step and would leave a silently stale plan — keep the XLA engine
-        import sys
-        print("[stripe] stripe_fused disabled: runtime rewiring "
-              "(rewire_KNN/edge_sampling/fa_layer) would stale the static "
-              "stripe plan", file=sys.stderr)
+        if cfg.stripe_fused:   # warn only when explicitly requested
+            import sys
+            print("[stripe] stripe_fused disabled: runtime rewiring "
+                  "(rewire_KNN/edge_sampling/fa_layer) would stale the "
+                  "static stripe plan", file=sys.stderr)
         return g, None
     import numpy as np
     from graph_neural_pde_tpu.ops.pallas.stripe import build_stripe_plan
@@ -137,6 +144,10 @@ def build_stripe_engine(cfg: Config, g: Graph):
     row_s[slots] = np.asarray(g.row)[idx]
     col_s[slots] = np.asarray(g.col)[idx]
     w_s[slots] = np.asarray(g.weight)[idx]
+    # dual column plan: backward dx[col] scatter rides a static permutation
+    # gather + the MXU stripe scatter instead of XLA's unsorted scatter-add
+    from graph_neural_pde_tpu.ops.pallas.stripe import attach_col_plan
+    plan = attach_col_plan(plan, col_s)
     g2 = Graph(row=jnp.asarray(row_s), col=jnp.asarray(col_s),
                weight=jnp.asarray(w_s), mask=jnp.asarray(plan.valid),
                num_nodes=plan.num_nodes, rows_sorted=True)

@@ -76,6 +76,16 @@ def _source(cfg: Config, fparams, f, aux: FuncAux):
     return f
 
 
+def _col_gather(g: Graph, stripe_plan, x, pay_dt):
+    """x[col] as the RHS payload. With a dual column plan the backward
+    scatter rides the MXU stripe kernels (stripe.make_col_gather) instead of
+    XLA's unsorted scatter-add — the round-2 train step's dominant cost."""
+    if stripe_plan is not None and stripe_plan.col_plan is not None:
+        from graph_neural_pde_tpu.ops.pallas.stripe import make_col_gather
+        return make_col_gather(stripe_plan, g.col, out_dtype=pay_dt)(x)
+    return x.astype(pay_dt)[g.col]
+
+
 def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
                            g: Graph, stripe_plan=None, exact_softmax=False):
     """GRAND-nl RHS with the normalisation folded into the aggregation.
@@ -114,7 +124,7 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
         from graph_neural_pde_tpu.ops.pallas.fused_rhs import (
             fused_rhs_ax, fused_rowmax)
 
-        x_g = x.astype(pay_dt)[g.col]
+        x_g = _col_gather(g, stripe_plan, x, pay_dt)
         # softmax is shift-invariant, so NO max pass is needed: exp runs
         # unshifted (exact while scores stay within f32's ±88 exp range).
         # Both failure modes — a whole segment underflowing to 0 OR any
@@ -160,7 +170,7 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
         # costs 50 ms vs 13.5 ms for the aligned 128-wide one, and the E-row
         # projection is ~1 ms of MXU.
         q = _lin(ap["Q"], x)
-        gathered = x.astype(pay_dt)[g.col]                    # [E, D]
+        gathered = _col_gather(g, stripe_plan, x, pay_dt)     # [E, D]
         k_e = (gathered @ ap["K"]["w"].astype(gathered.dtype)
                + ap["K"]["b"].astype(gathered.dtype))
         if stripe_plan is not None:
@@ -175,7 +185,7 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
     else:
         prods, _v = transformer_scores(ap, cfg, x, g,
                                        edge_weight=aux.edge_weight)
-        gathered = x.astype(pay_dt)[g.col]
+        gathered = _col_gather(g, stripe_plan, x, pay_dt)
 
     gmax = jnp.max(jnp.where(g.mask[:, None], prods, -jnp.inf))
     gmax = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
@@ -284,7 +294,7 @@ def _gat_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config, g: Graph,
     w_dst = jnp.einsum("dhf,f->dh", ap["W"].reshape(d, h, d_k),
                        a_vec[d_k:])
 
-    gathered = x.astype(pay_dt)[g.col]                        # [E, D]
+    gathered = _col_gather(g, stripe_plan, x, pay_dt)         # [E, D]
     s_dst_e = (gathered @ w_dst.astype(gathered.dtype)).astype(x.dtype)
     if stripe_plan is not None:
         from graph_neural_pde_tpu.ops.pallas.stripe import stripe_gather

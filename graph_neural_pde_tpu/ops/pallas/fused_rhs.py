@@ -500,6 +500,194 @@ def fused_rowmax(plan: StripePlan, q, kw, kb, *, heads: int, x_g,
     return jnp.where(jnp.isfinite(smax), smax, 0.0)
 
 
+# ---------------------------------------------------------------------------
+# backward mega-kernel
+# ---------------------------------------------------------------------------
+# One Mosaic pass fusing the whole _fused_bwd composition except the final
+# node-level matmuls: the ct_num/ct_den row gathers (previously a dedicated
+# stripe gather2 writing [cap, H·D] to HBM), the score/u recompute, the
+# per-edge gradient algebra (du/ds/dsrc/dk_e), the dq row scatter (previously
+# a dedicated stripe scatter), and the dkw/dkb/dgmax reductions. Per-edge HBM
+# traffic drops from ~6 [cap, ·]-wide round trips to reading x_e once and
+# writing dxg once. The dx[col] scatter then rides the column plan
+# (stripe.make_col_gather) instead of XLA's unsorted scatter-add.
+
+
+def _bwd_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref, qb_ref,
+                kw_ref, kb_ref, sel_ref, gmax_ref, ctn_ref, ctd_ref, *rest,
+                chunk, block_n, d, att, heads, hp, d_k, square_plus, dtype,
+                with_shift=False):
+    if with_shift:
+        shift_refs = rest[:heads]
+        dq_ref, dxg_ref, dkw_ref, dkb_ref, dgm_ref = rest[heads:]
+    else:
+        shift_refs = None
+        dq_ref, dxg_ref, dkw_ref, dkb_ref, dgm_ref = rest
+    i = pl.program_id(0)
+    prev = cr_ref[jnp.maximum(i - 1, 0)]
+
+    @pl.when(i == 0)
+    def _():
+        dkw_ref[:] = jnp.zeros_like(dkw_ref)
+        dkb_ref[:] = jnp.zeros_like(dkb_ref)
+        dgm_ref[:] = jnp.zeros_like(dgm_ref)
+
+    @pl.when((i == 0) | (cr_ref[i] != prev))
+    def _():
+        dq_ref[:] = jnp.zeros_like(dq_ref)
+
+    rowl = rowl_ref[:]
+    xe = xe_ref[:].astype(dtype)
+    xe_f = xe_ref[:].astype(jnp.float32)
+
+    # ---- recompute the forward (identical math to _rhs_kernel) ----------
+    q_blk = (jnp.dot(xt_ref[:].astype(dtype), qw_ref[:].astype(dtype),
+                     preferred_element_type=jnp.float32)
+             + qb_ref[:]).astype(dtype)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (block_n, chunk), 0)
+    pt = (rowl[None, :] == iota_n).astype(dtype)
+    dims0 = (((0,), (0,)), ((), ()))
+    src = jax.lax.dot_general(pt, q_blk, dims0,
+                              preferred_element_type=jnp.float32)
+    k_e = jnp.dot(xe, kw_ref[:].astype(dtype),
+                  preferred_element_type=jnp.float32) + kb_ref[:]
+    prod = (src * k_e).astype(dtype)
+    s = jnp.dot(prod, sel_ref[:].astype(dtype),
+                preferred_element_type=jnp.float32) / math.sqrt(d_k)
+    sm = s - gmax_ref[0, 0]
+    if with_shift:
+        sm = sm - _shift_matrix(shift_refs, chunk, heads, hp)
+    if square_plus:
+        r = jnp.sqrt(sm * sm + 4.0)
+        u = (sm + r) * 0.5
+        duds = (1.0 + sm / r) * 0.5
+    else:
+        u = jnp.exp(sm)
+        duds = u
+    hmask = (jax.lax.broadcasted_iota(jnp.int32, (1, hp), 1) < heads)
+    vmask = hmask.astype(jnp.float32) * valid_ref[:][:, None]
+    u = u * vmask
+    duds = duds * vmask
+
+    # ---- cotangent gathers (the former stripe gather2, fused) -----------
+    dup = jax.lax.dot_general(pt, ctd_ref[:].astype(dtype), dims0,
+                              preferred_element_type=jnp.float32)
+    du_cols = []
+    dxg_acc = None
+    for h in range(heads):
+        dv_h = jax.lax.dot_general(
+            pt, ctn_ref[:, h * d:(h + 1) * d].astype(dtype), dims0,
+            preferred_element_type=jnp.float32)                # [chunk, D]
+        du_cols.append(jnp.sum(dv_h * xe_f, axis=1, keepdims=True))
+        term = u[:, h][:, None] * dv_h
+        dxg_acc = term if dxg_acc is None else dxg_acc + term
+    if hp > heads:
+        du_cols.append(jnp.zeros((chunk, hp - heads), jnp.float32))
+    du = jnp.concatenate(du_cols, axis=1) + dup                # [chunk, hp]
+    ds = du * duds                                             # masked via duds
+
+    # ---- per-edge gradients ---------------------------------------------
+    # expand ds back over head feature slices with the selector transpose
+    dse = jax.lax.dot_general(
+        ds, sel_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) / math.sqrt(d_k)   # [chunk, ATT]
+    dsrc = (dse * k_e).astype(dtype)
+    dke = dse * src                                            # [chunk, ATT]
+
+    dq_ref[:] += jnp.dot(pt, dsrc, preferred_element_type=jnp.float32)
+    dke_l = dke.astype(dtype)
+    dkw_ref[:] += jax.lax.dot_general(xe, dke_l, dims0,
+                                      preferred_element_type=jnp.float32)
+    dkb_ref[:] += jnp.broadcast_to(jnp.sum(dke, axis=0, keepdims=True),
+                                   dkb_ref.shape)
+    dgm_ref[:] += jnp.broadcast_to(jnp.sum(ds, axis=0, keepdims=True),
+                                   dgm_ref.shape)
+    dxg_ref[:] = dxg_acc + jax.lax.dot_general(
+        dke_l, kw_ref[:].astype(dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _fused_bwd_mega_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax,
+                         ct_num, ct_den, *, heads: int, square_plus: bool,
+                         dtype=jnp.bfloat16, interpret: bool | None = None,
+                         shifts=None):
+    """(dq [N, ATT], dxg [cap, D], dkw [D, ATT], dkb [ATT], dgmax scalar)."""
+    cap, d = x_g.shape
+    att = qw.shape[1]
+    assert cap == plan.capacity and ct_num.shape == (plan.num_nodes, heads * d)
+    hp = max(8, heads)
+    assert ct_den.shape == (plan.num_nodes, hp)
+    d_k = att // heads
+    chunk, block_n, nc = plan.chunk, plan.block_n, plan.n_chunks
+    if interpret is None:
+        interpret = not _on_tpu()
+    sel = jnp.asarray(_head_selector(att, heads, hp))
+    valid = jnp.asarray(plan.valid, jnp.float32)
+    gmax2 = jnp.reshape(gmax.astype(jnp.float32), (1, 1))
+    kb2 = jnp.reshape(kb.astype(jnp.float32), (1, att))
+    qb2 = jnp.reshape(qb.astype(jnp.float32), (1, att))
+    with_shift = shifts is not None
+    if with_shift:
+        dtype = jnp.float32          # EXACT mode stays f32 (see _fused_call)
+    in_specs = [
+        pl.BlockSpec((chunk,), lambda i, cr: (i,)),          # rowl
+        pl.BlockSpec((chunk,), lambda i, cr: (i,)),          # valid
+        pl.BlockSpec((chunk, d), lambda i, cr: (i, 0)),      # x_e
+        pl.BlockSpec((block_n, d), lambda i, cr: (cr[i], 0)),  # x rows
+        pl.BlockSpec((d, att), lambda i, cr: (0, 0)),        # Q_w
+        pl.BlockSpec((1, att), lambda i, cr: (0, 0)),        # Q_b
+        pl.BlockSpec((d, att), lambda i, cr: (0, 0)),        # K_w
+        pl.BlockSpec((1, att), lambda i, cr: (0, 0)),        # K_b
+        pl.BlockSpec((att, hp), lambda i, cr: (0, 0)),       # selector
+        pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
+                     memory_space=pltpu.SMEM),               # gmax
+        pl.BlockSpec((block_n, heads * d), lambda i, cr: (cr[i], 0)),  # ct_num
+        pl.BlockSpec((block_n, hp), lambda i, cr: (cr[i], 0)),         # ct_den
+    ]
+    args = [jnp.asarray(plan.chunk_rows), jnp.asarray(plan.row_local),
+            valid, x_g, x_n, qw, qb2, kw, kb2, sel, gmax2,
+            ct_num, ct_den]
+    if with_shift:
+        for sh in shifts:
+            assert sh.shape == (cap,)
+            in_specs.append(pl.BlockSpec((chunk,), lambda i, cr: (i,)))
+            args.append(sh.astype(jnp.float32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((block_n, att), lambda i, cr: (cr[i], 0)),  # dq
+            pl.BlockSpec((chunk, d), lambda i, cr: (i, 0)),          # dxg
+            pl.BlockSpec((d, att), lambda i, cr: (0, 0)),            # dkw
+            pl.BlockSpec((8, att), lambda i, cr: (0, 0)),            # dkb
+            pl.BlockSpec((8, hp), lambda i, cr: (0, 0)),             # dgm
+        ),
+    )
+    kernel = functools.partial(
+        _bwd_kernel, chunk=chunk, block_n=block_n, d=d, att=att, heads=heads,
+        hp=hp, d_k=d_k, square_plus=square_plus, dtype=dtype,
+        with_shift=with_shift)
+    flops = 2 * nc * chunk * block_n * (att + 2 * heads * d + hp + att) \
+        + 2 * nc * chunk * (d * att * 2 + att * hp * 2)
+    dq, dxg, dkw, dkb8, dgm8 = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((plan.num_nodes, att), jnp.float32),
+            jax.ShapeDtypeStruct((cap, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, att), jnp.float32),
+            jax.ShapeDtypeStruct((8, att), jnp.float32),
+            jax.ShapeDtypeStruct((8, hp), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=nc * chunk * d * 8,
+            transcendentals=nc * chunk * hp),
+        interpret=interpret,
+    )(*args)
+    dkb = dkb8[0]
+    dgmax = -jnp.sum(dgm8[0, :heads])
+    return dq, dxg, dkw, dkb, dgmax
+
+
 def _scores_u(plan, q, kw, kb, x_g, gmax, heads, square_plus, shifts=None):
     """Composition replica of the in-kernel math (for the backward pass).
 
@@ -555,6 +743,30 @@ def _fused_fwd(plan, heads, square_plus, qw, qb, kw, kb, x_n, x_g, gmax):
 
 
 def _fused_bwd(plan, heads, square_plus, res, cts):
+    """Backward of the fused aggregate — the round-3 mega kernel.
+
+    One Mosaic pass (_bwd_kernel) produces dq/dxg/dkw/dkb/dgmax; only the
+    cheap node-level matmuls (dqw, dqb, dx_n) remain outside. The stripe
+    composition (_fused_bwd_composition) is kept as the oracle these
+    gradients are pinned against in tests and in bench's on-device
+    verification."""
+    if len(res) == 8:
+        qw, qb, kw, kb, x_n, x_g, gmax, shifts = res
+    else:
+        qw, qb, kw, kb, x_n, x_g, gmax = res
+        shifts = None
+    ct_num, ct_den = cts
+    dq, dxg, dkw, dkb, dgmax = _fused_bwd_mega_call(
+        plan, qw, qb, kw, kb, x_n, x_g, gmax, ct_num, ct_den,
+        heads=heads, square_plus=square_plus, shifts=shifts)
+    xn_f = x_n.astype(jnp.float32)
+    dqw = xn_f.T @ dq
+    dqb = jnp.sum(dq, axis=0)
+    dx_n = (dq @ qw.T).astype(x_n.dtype)
+    return dqw, dqb, dkw, dkb, dx_n, dxg.astype(x_g.dtype), dgmax
+
+
+def _fused_bwd_composition(plan, heads, square_plus, res, cts):
     """Hand-derived backward over per-head 1-D [cap] intermediates.
 
     The [cap, H(, D)]-shaped forms of these arrays pad 4-64x under TPU HBM

@@ -17,15 +17,23 @@ that is ≤ 0.5 MFLOP/edge ≈ 0.3–2.7 ns/edge on a v5e MXU, versus ~12 ns/edg
 for an XLA indexed op. The column-side gather keeps the XLA path (column
 indices are not stripe-local).
 
-Measured (v5e, 2.5M edges): the scatter wins 1.7x over XLA's sorted
-segment-sum (35 vs 60 ms at width 256); the gather only ties XLA (~30 ms) —
-the one-hot construction + relayout, not the matmul, dominates, and chunk
-size barely moves it. Net fused-RHS gain ≈ 3% today; revisit when Mosaic can
-fuse the compare into the MXU operand feed.
+Measured (v5e, 2.33M-edge arxiv-scale bench; round 2-3 results — the round-1
+"gather only ties XLA / net gain ≈ 3%" finding was superseded once the
+kernels fused): the dual scatter at the 128-aligned width H·D=256 runs
+9.9 ms vs 23 ms for the lane-misaligned ones-column form and ~60 ms for
+XLA's sorted segment-sum; composed into the one-pass fused RHS
+(ops/pallas/fused_rhs.py) these kernels took the forward headline from
+25.2M (round-1 composition) to 260M edge·NFE/s. The per-edge floor is the
+x[col] gather's issue rate: 2.15 ns/row on v5e, independent of width
+(32-128), dtype (bf16/f32) and index locality. Round 3 adds the column
+plan (attach_col_plan/make_col_gather) and the backward mega-kernel
+(fused_rhs._bwd_kernel), which replace the training step's unsorted dx
+scatter + stripe-transpose chain.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from dataclasses import dataclass
 from functools import partial
@@ -46,7 +54,7 @@ def _on_tpu() -> bool:
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=("row_local", "valid", "chunk_rows", "slot_of_edge",
-                      "node_degree"),
+                      "node_degree", "col_plan", "col_src_slot"),
          meta_fields=("block_n", "chunk", "num_nodes"))
 @dataclass(frozen=True)
 class StripePlan:
@@ -60,6 +68,13 @@ class StripePlan:
     node_degree  : int32[num_nodes] — valid out-edges per row (lets the
                    softmax-underflow guard distinguish a zeroed denominator
                    from a genuinely edgeless node)
+    col_plan     : optional dual StripePlan over the COLUMN index (edges
+                   sorted by col), used to turn the backward pass's
+                   dx[col[e]] += ct[e] — an unsorted XLA scatter, the
+                   dominant training cost — into a static permutation gather
+                   + MXU stripe scatter (see attach_col_plan / col_gather)
+    col_src_slot : int32[col_plan.capacity] — for each col-plan slot, the
+                   ROW-plan slot holding the same edge (0 on padding)
     """
 
     row_local: np.ndarray
@@ -70,6 +85,8 @@ class StripePlan:
     block_n: int
     chunk: int
     num_nodes: int
+    col_plan: "StripePlan | None" = None
+    col_src_slot: "np.ndarray | None" = None
 
     @property
     def n_chunks(self) -> int:
@@ -167,6 +184,69 @@ def build_stripe_plan(row, mask=None, *, num_nodes: int, block_n: int = 1024,
                       node_degree=np.bincount(
                           r, minlength=n_pad).astype(np.int32),
                       block_n=block_n, chunk=chunk, num_nodes=n_pad)
+
+
+def attach_col_plan(plan: StripePlan, col) -> StripePlan:
+    """Build the dual COLUMN plan: the row plan's edges re-sorted by column,
+    plus the slot map col-plan-slot -> row-plan-slot.
+
+    ``col`` is the column id per ROW-plan slot (invalid slots ignored). The
+    dual plan turns the backward pass's dx[col[e]] += ct[e] — an unsorted
+    XLA scatter-add, the dominant cost of the round-2 train step — into a
+    static permutation gather (per-row issue rate, ~2.15 ns/row on v5e) plus
+    the MXU stripe scatter. Used by make_col_gather.
+    """
+    col = np.asarray(col, np.int64)
+    assert col.shape[0] == plan.capacity
+    valid = np.asarray(plan.valid, bool)
+    slots = np.where(valid)[0]
+    order = np.argsort(col[slots], kind="stable")
+    sorted_slots = slots[order].astype(np.int64)   # row slots, col-sorted
+    cplan = build_stripe_plan(col[sorted_slots], num_nodes=plan.num_nodes,
+                              block_n=plan.block_n, chunk=plan.chunk)
+    src = np.zeros(cplan.capacity, np.int32)
+    src[np.asarray(cplan.slot_of_edge)] = sorted_slots.astype(np.int32)
+    return dataclasses.replace(plan, col_plan=cplan, col_src_slot=src)
+
+
+def make_col_gather(plan: StripePlan, col: jax.Array, out_dtype=None):
+    """Differentiable out[e] = x[col[e]] ([N_pad, D] -> [capacity, D] in
+    row-plan slot order) whose BACKWARD rides the column plan: cotangents
+    are permuted to col-plan slot order by a static-index gather and
+    segment-summed by the one-hot MXU scatter, replacing XLA's unsorted
+    scatter-add (which serialises on the random write stream).
+
+    ``out_dtype`` folds the payload cast (e.g. bf16) into the op so the
+    cotangent accumulates in the stripe scatter's f32 accumulator.
+    Requires plan.col_plan (attach_col_plan).
+    """
+    cplan = plan.col_plan
+    assert cplan is not None, "attach_col_plan must run first"
+    # closure constants stay NUMPY: the factory runs inside traced code
+    # (every RHS eval), and a traced op here (e.g. a [:, None] reshape)
+    # would capture a stale forward-trace tracer in the bwd closure
+    src_np = np.asarray(plan.col_src_slot)
+    vmask_np = np.asarray(cplan.valid)[:, None]
+
+    def _impl(x):
+        xd = x if out_dtype is None else x.astype(out_dtype)
+        return xd[col]
+
+    @jax.custom_vjp
+    def cg(x):
+        return _impl(x)
+
+    def fwd(x):
+        return _impl(x), jnp.zeros((0,), x.dtype)
+
+    def bwd(dt, ct):
+        ct_c = jnp.where(jnp.asarray(vmask_np),
+                         ct.astype(jnp.float32)[jnp.asarray(src_np)], 0.0)
+        dx = _stripe_scatter_call(cplan, ct_c)
+        return (dx.astype(dt.dtype),)
+
+    cg.defvjp(fwd, bwd)
+    return cg
 
 
 # ---------------------------------------------------------------------------

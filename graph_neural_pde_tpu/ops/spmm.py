@@ -49,12 +49,21 @@ def make_stripe_spmm(g: Graph, plan, payload_dtype=None):
     Differentiable: the gather through XLA, the scatter via its custom VJP.
     """
     from graph_neural_pde_tpu.ops.pallas.stripe import (
-        stripe_scatter_add_weighted)
+        make_col_gather, stripe_scatter_add_weighted)
+
+    if plan.col_plan is not None:
+        # col-plan backward: the dx[col[e]] cotangent scatter rides a static
+        # permutation gather + the MXU stripe scatter (attach_col_plan)
+        # instead of XLA's unsorted scatter-add
+        gather = make_col_gather(plan, g.col, out_dtype=payload_dtype)
+    else:
+        def gather(x):
+            xd = x if payload_dtype is None else x.astype(payload_dtype)
+            return xd[g.col]
 
     def spmm_fn(x, w):
-        xd = x if payload_dtype is None else x.astype(payload_dtype)
         w_m = jnp.where(g.mask, w, 0.0)
-        return stripe_scatter_add_weighted(plan, w_m, xd[g.col])
+        return stripe_scatter_add_weighted(plan, w_m, gather(x))
 
     return spmm_fn
 

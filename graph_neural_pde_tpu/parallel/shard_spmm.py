@@ -50,6 +50,64 @@ def make_sharded_spmm(mesh: Mesh, g: Graph, axis_name: str = "edges"):
     return spmm_fn
 
 
+def make_sharded_fused_rhs(mesh: Mesh, g: Graph, *, heads: int,
+                           axis_name: str = "edges",
+                           square_plus: bool = False):
+    """GRAND-nl's hot path — multihead attention recomputed every RHS eval
+    (/root/reference/src/function_transformer_attention.py:38-53) — with the
+    edge list sharded over the mesh.
+
+    The softmax normalisation is sum-decomposable over edge shards: each
+    device computes per-node PARTIAL numerator/denominator aggregates from
+    its own edges, ONE psum of each merges them over ICI, and the division
+    (and head average) runs after the collective — exactly the single-device
+    fused RHS (global-shift softmax with gmax = 0, see
+    models.functions._transformer_rhs_fused). Per-step ICI traffic is the
+    [N, H·D] numerators + [N, H] denominators, independent of edge count.
+
+    Returns ``rhs_ax(qw, qb, kw, kb, x) -> [N, D]`` (the head-averaged
+    normalised aggregate; the caller applies alpha/(ax - x)/source).
+    """
+    import math
+
+    n = g.num_nodes
+
+    def _shard_body(row, col, mask, x, qw, qb, kw, kb):
+        h = heads
+        att = qw.shape[1]
+        d_k = att // h
+        d = x.shape[1]
+        q = x @ qw + qb                       # replicated projections
+        x_g = x[col]                          # shard-local column gather
+        k_e = x_g @ kw + kb
+        src = q[row].reshape(-1, h, d_k)
+        dst = k_e.reshape(-1, h, d_k)
+        s = jnp.sum(src * dst, axis=-1) / math.sqrt(d_k)
+        if square_plus:
+            u = (s + jnp.sqrt(s * s + 4.0)) * 0.5
+        else:
+            u = jnp.exp(s)
+        u = jnp.where(mask[:, None], u, 0.0)
+        vals = (u[:, :, None] * x_g[:, None, :]).reshape(-1, h * d)
+        num = jax.lax.psum(
+            jax.ops.segment_sum(vals, row, num_segments=n), axis_name)
+        den = jax.lax.psum(
+            jax.ops.segment_sum(u, row, num_segments=n), axis_name)
+        num = num.reshape(n, h, d)
+        return jnp.mean(num / (den[:, :, None] + 1e-16), axis=1)
+
+    sharded = shard_map(
+        _shard_body, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name),
+                  P(), P(), P(), P(), P()),
+        out_specs=P())
+
+    def rhs_ax(qw, qb, kw, kb, x):
+        return sharded(g.row, g.col, g.mask, x, qw, qb, kw, kb)
+
+    return rhs_ax
+
+
 def make_sharded_stripe_spmm(mesh: Mesh, g: Graph, *, block_n: int = 128,
                              chunk: int = 2048, axis_name: str = "edges",
                              payload_dtype=None):

@@ -50,6 +50,34 @@ def _torch_rmsprop(lr: float, alpha: float = 0.99, eps: float = 1e-8
     return optax.GradientTransformation(init, update)
 
 
+def _decay_mask_fn(cfg: Config):
+    """Mirror torch's grad-None semantics for coupled weight decay.
+
+    In the reference's hard-attention block with a non-attention function,
+    the block's own attention layer runs ENTIRELY under torch.no_grad during
+    training (block_transformer_hard_attention.py:52-65), so its parameters
+    have .grad None and torch optimizers skip them — no update AND no weight
+    decay. jax.grad returns structural zeros instead, and un-masked
+    add_decayed_weights would shrink those frozen Q/K weights every step,
+    changing the forward (the tuned Computers/Photo configs train exactly
+    this family with nonzero decay). Pinned by
+    tests/test_torch_parity_extended.py::TestHardAttentionParity.
+    """
+    freeze_block_att = (cfg.block == "hard_attention"
+                        and cfg.function not in ("GAT", "transformer"))
+
+    def mask(params):
+        def leaf_mask(path, leaf):
+            keys = [getattr(p, "key", None) for p in path]
+            if freeze_block_att and keys[:2] == ["block", "att"]:
+                return False
+            return True
+
+        return jax.tree_util.tree_map_with_path(leaf_mask, params)
+
+    return mask
+
+
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     """Torch-style coupled weight decay (L2 added to gradients before the
     moment updates), matching run_GNN.get_optimizer (run_GNN.py:24-36)."""
@@ -67,7 +95,8 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     else:
         raise ValueError(f"Unsupported optimizer: {name}")
     if wd and wd > 0:
-        return optax.chain(optax.add_decayed_weights(wd), core)
+        return optax.chain(
+            optax.add_decayed_weights(wd, mask=_decay_mask_fn(cfg)), core)
     return core
 
 

@@ -261,6 +261,16 @@ def set_search_space(base: Config, regularise: bool = False
     return s
 
 
+def cgnn_space(base: Config) -> Dict[str, Callable]:
+    """CGNN's ray path replays the hand-tuned per-dataset config over random
+    splits (tune.run with scheduler=None, num_samples=num_splits,
+    CGNN.py:409-428) — so the 'space' is the tuned constants; trial-to-trial
+    variation comes from the split/seed, exactly as in the reference."""
+    from graph_neural_pde_tpu.models.cgnn import cgnn_best_params
+    tuned = cgnn_best_params.get(base.dataset, {})
+    return {k: const(v) for k, v in tuned.items()}
+
+
 def sample_config(base: Config, space: Dict[str, Callable],
                   rng: np.random.Generator) -> Config:
     # attention_dim must stay divisible by heads
@@ -292,15 +302,19 @@ class Trial:
 
 def _run_trial(cfg: Config, dataset: NodeDataset, epochs: int,
                num_splits: int, seed: int, checkpoint_dir: Optional[str],
-               trial_idx: int, carries: Optional[dict] = None
-               ) -> Dict[str, float]:
+               trial_idx: int, carries: Optional[dict] = None,
+               model: str = "gnn") -> Dict[str, float]:
     """Train on num_splits random splits; return mean metrics
     (train_ray_rand semantics, ray_tune.py:40-93).
 
     ``carries`` (mutated in place) holds per-split training state so a trial
     surviving to a later ASHA rung *resumes* instead of retraining from
     scratch — the reference restores per-trial torch checkpoints the same way
-    (ray_tune.py:128-134)."""
+    (ray_tune.py:128-134).
+
+    ``model``: 'gnn' (GNN/GNNEarly by cfg.no_early) or 'cgnn' — the CGNN
+    baseline's own ray path (train_ray/train_ray_icml, CGNN.py:336-428)
+    drives the CGNN model through the same trial machinery."""
     import jax.numpy as jnp
     from graph_neural_pde_tpu.data.datasets import set_train_val_test_split
     from graph_neural_pde_tpu.models.gnn import GNNModel
@@ -318,23 +332,28 @@ def _run_trial(cfg: Config, dataset: NodeDataset, epochs: int,
             ds.train_mask = jnp.asarray(tm)
             ds.val_mask = jnp.asarray(vm)
             ds.test_mask = jnp.asarray(sm)
-        if cfg.no_early:
-            model = GNNModel(cfg, ds.num_features, ds.num_classes, ds.graph)
+        if model == "cgnn":
+            from graph_neural_pde_tpu.models.cgnn import CGNNModel
+            model_obj = CGNNModel(cfg, ds.num_features, ds.num_classes,
+                                  ds.graph)
+        elif cfg.no_early:
+            model_obj = GNNModel(cfg, ds.num_features, ds.num_classes,
+                                 ds.graph)
         else:
             # in-integrator model selection inside trials (train_ray_int,
             # ray_tune.py:149-200)
             from graph_neural_pde_tpu.models.gnn_early import GNNEarlyModel
-            model = GNNEarlyModel(cfg, ds.num_features, ds.num_classes,
-                                  ds.graph)
-        trainer = Trainer(model)
+            model_obj = GNNEarlyModel(cfg, ds.num_features, ds.num_classes,
+                                      ds.graph)
+        trainer = Trainer(model_obj)
         carry = carries.get(split) if carries is not None else None
         params, state, best, _, carry = trainer.fit(
             ds, epochs=epochs, seed=seed + split, verbose=False,
             carry=carry, return_carry=True)
         if carries is not None:
             carries[split] = carry
-        if not cfg.no_early:
-            _, snap, _ = model.apply_early(
+        if not cfg.no_early and model != "cgnn":
+            _, snap, _ = model_obj.apply_early(
                 params, state, ds.x, ds.y,
                 (ds.train_mask, ds.val_mask, ds.test_mask))
             if float(snap.val) > best["val_acc"]:
@@ -362,14 +381,16 @@ def run_sweep(base_cfg: Config, dataset: NodeDataset, *, num_samples: int = 16,
               reduction_factor: int = 3, num_splits: int = 1, seed: int = 0,
               max_failures: int = 2, checkpoint_dir: Optional[str] = None,
               space: Optional[Dict[str, Callable]] = None,
-              verbose: bool = True) -> List[Trial]:
+              model: str = "gnn", verbose: bool = True) -> List[Trial]:
     """ASHA successive halving over sampled configs.
 
     Rungs at grace_period · reduction_factor^k epochs; survivors = top
     1/reduction_factor by validation accuracy at each rung.
     """
     rng = np.random.default_rng(seed)
-    space = space or set_search_space(base_cfg)
+    if space is None:
+        space = (cgnn_space(base_cfg) if model == "cgnn"
+                 else set_search_space(base_cfg))
     trials = [Trial(i, sample_config(base_cfg, space, rng))
               for i in range(num_samples)]
 
@@ -388,7 +409,8 @@ def run_sweep(base_cfg: Config, dataset: NodeDataset, *, num_samples: int = 16,
                 try:
                     metrics = _run_trial(t.cfg, dataset, rung_epochs,
                                          num_splits, seed, checkpoint_dir,
-                                         t.idx, carries=t.carries)
+                                         t.idx, carries=t.carries,
+                                         model=model)
                     t.val_acc = metrics["accuracy"]
                     t.test_acc = metrics["test_acc"]
                     t.train_acc = metrics["train_acc"]
@@ -419,13 +441,15 @@ def run_sweep(base_cfg: Config, dataset: NodeDataset, *, num_samples: int = 16,
 
 
 def run_best(cfg: Config, dataset: NodeDataset, *, reps: int = 4,
-             num_splits: int = 2, epochs: int = 100, seed: int = 0) -> dict:
+             num_splits: int = 2, epochs: int = 100, seed: int = 0,
+             model: str = "gnn") -> dict:
     """Re-run a tuned config over reps×splits and aggregate
-    (run_best_ray.py:13-74 semantics)."""
+    (run_best_ray.py:13-74 semantics; model='cgnn' covers CGNN's
+    run_best_params replay, CGNN.py:409-437)."""
     vals, tests = [], []
     for rep in range(reps):
         m = _run_trial(cfg, dataset, epochs, num_splits, seed + 1000 * rep,
-                       None, rep)
+                       None, rep, model=model)
         vals.append(m["accuracy"])
         tests.append(m["test_acc"])
     return {"val": aggregate_runs(vals), "test": aggregate_runs(tests)}
@@ -453,6 +477,9 @@ def _main():
     p.add_argument("--block", default=None)
     p.add_argument("--function", default=None)
     p.add_argument("--rewiring", default=None)
+    p.add_argument("--model", default="gnn", choices=("gnn", "cgnn"),
+                   help="cgnn = the CGNN baseline's own ray path "
+                        "(CGNN.py:336-428): tuned config over random splits")
     args = p.parse_args()
 
     over = {k: v for k, v in (("adjoint", args.adjoint or None),
@@ -466,7 +493,7 @@ def _main():
                        grace_period=args.grace_period,
                        reduction_factor=args.reduction_factor,
                        num_splits=args.num_splits, seed=args.seed,
-                       checkpoint_dir=args.checkpoint_dir)
+                       checkpoint_dir=args.checkpoint_dir, model=args.model)
     best = trials[0]
     print(f"\nbest trial {best.idx}: val {best.val_acc:.4f} "
           f"test {best.test_acc:.4f}")
@@ -474,7 +501,7 @@ def _main():
                       ("lr", "decay", "hidden_dim", "time", "block",
                        "attention_type", "method", "tol_scale")}, indent=2))
     out = run_best(best.cfg, ds, reps=2, num_splits=max(args.num_splits, 2),
-                   epochs=args.max_epochs, seed=args.seed)
+                   epochs=args.max_epochs, seed=args.seed, model=args.model)
     print("replay:", json.dumps(out, indent=2))
 
 

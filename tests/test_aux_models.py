@@ -41,6 +41,29 @@ class TestCGNN:
         assert set(cgnn_best_params) == {"Cora", "Citeseer", "Pubmed"}
         assert cgnn_best_params["Cora"]["time"] == 23.9
 
+    def test_cgnn_through_sweep_runner(self, dataset):
+        """CGNN drives through the ASHA trial machinery (model='cgnn'),
+        covering the reference's CGNN ray path (CGNN.py:336-428)."""
+        from graph_neural_pde_tpu.training.tuning import const, run_sweep
+        base = Config(dataset="Cora", hidden_dim=8, time=2.0, alpha=0.9,
+                      input_dropout=0.0, dropout=0.0, optimizer="rmsprop",
+                      lr=0.02, decay=5e-4, max_nfe=3000)
+        # tiny constant space (the real cgnn_space replays the tuned config;
+        # here the trial mechanics are under test, not the tuned accuracy)
+        space = {"self_loop_weight": const(0.6)}
+        trials = run_sweep(base, dataset, num_samples=2, max_epochs=4,
+                           grace_period=2, num_splits=1, model="cgnn",
+                           space=space, verbose=False)
+        assert trials and not trials[0].failed
+        assert trials[0].val_acc > 0.3
+
+    def test_cgnn_space_replays_tuned_constants(self):
+        from graph_neural_pde_tpu.training.tuning import cgnn_space
+        rng = np.random.default_rng(0)
+        space = cgnn_space(Config(dataset="Cora"))
+        assert space["time"](rng) == 23.9
+        assert space["optimizer"](rng) == "rmsprop"
+
 
 class TestImageGraph:
     def test_grid_edge_counts_4n(self):

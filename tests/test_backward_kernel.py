@@ -1,0 +1,196 @@
+"""Round-3 backward engine: column-plan dx scatter + the backward mega-kernel.
+
+The training step's dominant round-2 cost was the backward of the fused
+attention RHS: an unsorted XLA scatter-add for dx[col] plus a chain of
+stripe-transpose kernels. Round 3 replaces them with
+  * stripe.make_col_gather — x[col] whose VJP rides a static permutation
+    gather + the column-plan MXU stripe scatter, and
+  * fused_rhs._bwd_kernel — one Mosaic pass for the ct gathers, score
+    recompute, per-edge gradient algebra, dq scatter and dkw/dkb/dgmax
+    reductions.
+These tests pin both against the previous composition (the oracle,
+_fused_bwd_composition) and against plain XLA autodiff.
+"""
+
+import numpy as np
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import pytest
+
+from graph_neural_pde_tpu.ops.pallas.stripe import (
+    attach_col_plan,
+    build_stripe_plan,
+    make_col_gather,
+)
+
+
+def _small_plan(rng, n=48, e=400, block_n=8, chunk=16):
+    row = np.sort(rng.integers(0, n, e).astype(np.int64))
+    plan = build_stripe_plan(row, num_nodes=n, block_n=block_n, chunk=chunk)
+    col = np.zeros(plan.capacity, np.int32)
+    col[np.asarray(plan.slot_of_edge)] = rng.integers(0, n, e)
+    plan = attach_col_plan(plan, col)
+    rows_of_slot = (np.repeat(np.asarray(plan.chunk_rows), plan.chunk)
+                    * plan.block_n + np.asarray(plan.row_local))
+    return plan, col, rows_of_slot
+
+
+class TestColGather:
+    def test_forward_matches_indexing(self, rng):
+        plan, col, _ = _small_plan(rng)
+        x = jnp.asarray(rng.normal(size=(plan.num_nodes, 8)), jnp.float32)
+        out = make_col_gather(plan, jnp.asarray(col))(x)
+        want = np.asarray(x)[col]
+        m = np.asarray(plan.valid)
+        np.testing.assert_allclose(np.asarray(out)[m], want[m], rtol=1e-6)
+
+    def test_vjp_matches_unsorted_scatter(self, rng):
+        plan, col, _ = _small_plan(rng)
+        x = jnp.asarray(rng.normal(size=(plan.num_nodes, 8)), jnp.float32)
+        cg = make_col_gather(plan, jnp.asarray(col))
+        ct = rng.normal(size=(plan.capacity, 8)).astype(np.float32)
+        ct[~np.asarray(plan.valid)] = 0.0
+        _, vjp = jax.vjp(cg, x)
+        (dx,) = vjp(jnp.asarray(ct))
+        want = np.zeros((plan.num_nodes, 8), np.float32)
+        m = np.asarray(plan.valid)
+        np.add.at(want, col[m], ct[m])
+        np.testing.assert_allclose(np.asarray(dx), want, atol=3e-2)
+
+    def test_payload_cast_folds_into_op(self, rng):
+        plan, col, _ = _small_plan(rng)
+        x = jnp.asarray(rng.normal(size=(plan.num_nodes, 8)), jnp.float32)
+        out = make_col_gather(plan, jnp.asarray(col),
+                              out_dtype=jnp.bfloat16)(x)
+        assert out.dtype == jnp.bfloat16
+        # cotangent comes back in the primal dtype
+        cg = make_col_gather(plan, jnp.asarray(col), out_dtype=jnp.bfloat16)
+        (dx,) = jax.vjp(cg, x)[1](out)
+        assert dx.dtype == x.dtype
+
+    def test_col_plan_attached_by_engine(self, rng):
+        from graph_neural_pde_tpu.config import Config
+        from graph_neural_pde_tpu.data.synthetic import make_sbm_dataset
+        from graph_neural_pde_tpu.models.blocks import (
+            build_stripe_engine, prepare_graph)
+        ds = make_sbm_dataset(num_nodes=40, num_classes=3, num_features=8,
+                              seed=0)
+        cfg = Config(block="constant", function="laplacian",
+                     stripe_fused=True, stripe_block_n=8, stripe_chunk=16,
+                     stripe_chunk_auto=False)
+        g = prepare_graph(cfg, ds.graph)
+        _, plan = build_stripe_engine(cfg, g)
+        assert plan is not None and plan.col_plan is not None
+        assert plan.col_src_slot.shape[0] == plan.col_plan.capacity
+
+
+class TestMegaBackward:
+    """The _bwd_kernel mega-pass vs the stripe-composition oracle."""
+
+    def _setup(self, rng, heads=2, d=8, att=8, n=48, e=400):
+        from graph_neural_pde_tpu.ops.pallas.fused_rhs import (
+            fused_rhs_aggregate)
+        plan, col, rows = _small_plan(rng, n=n, e=e)
+        x_n = jnp.asarray(rng.normal(size=(plan.num_nodes, d)) * 0.4,
+                          jnp.float32)
+        x_g = jnp.asarray(rng.normal(size=(plan.capacity, d)) * 0.4,
+                          jnp.float32)
+        qw = jnp.asarray(rng.normal(size=(d, att)) * 0.2, jnp.float32)
+        qb = jnp.asarray(rng.normal(size=(att,)) * 0.1, jnp.float32)
+        kw = jnp.asarray(rng.normal(size=(d, att)) * 0.2, jnp.float32)
+        kb = jnp.asarray(rng.normal(size=(att,)) * 0.1, jnp.float32)
+        gmax = jnp.zeros((), jnp.float32)
+        return plan, (qw, qb, kw, kb, x_n, x_g, gmax), fused_rhs_aggregate
+
+    @pytest.mark.parametrize("square_plus", [False, True])
+    def test_mega_matches_composition(self, rng, square_plus):
+        from graph_neural_pde_tpu.ops.pallas.fused_rhs import (
+            _fused_bwd, _fused_bwd_composition)
+        heads = 2
+        plan, operands, _ = self._setup(rng, heads=heads)
+        d = operands[5].shape[1]
+        hp = max(8, heads)
+        ct_num = jnp.asarray(rng.normal(size=(plan.num_nodes, heads * d)),
+                             jnp.float32)
+        ct_den = jnp.asarray(rng.normal(size=(plan.num_nodes, hp)),
+                             jnp.float32)
+        got = _fused_bwd(plan, heads, square_plus, operands,
+                         (ct_num, ct_den))
+        want = _fused_bwd_composition(plan, heads, square_plus, operands,
+                                      (ct_num, ct_den))
+        names = ["dqw", "dqb", "dkw", "dkb", "dx_n", "dx_g", "dgmax"]
+        for name, a, b in zip(names, got, want):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            scale = np.abs(b).max() + 1e-6
+            assert np.abs(a - b).max() / scale < 5e-2, (
+                name, np.abs(a - b).max(), scale)
+
+    def test_mega_with_shifts_matches_composition(self, rng):
+        """EXACT-softmax mode: per-edge row-max shifts thread through."""
+        from graph_neural_pde_tpu.ops.pallas.fused_rhs import (
+            _fused_bwd, _fused_bwd_composition)
+        heads = 2
+        plan, operands, _ = self._setup(rng, heads=heads)
+        d = operands[5].shape[1]
+        hp = max(8, heads)
+        shifts = tuple(
+            jnp.asarray(rng.normal(size=(plan.capacity,)) * 0.3, jnp.float32)
+            for _ in range(heads))
+        res = operands + (shifts,)
+        ct_num = jnp.asarray(rng.normal(size=(plan.num_nodes, heads * d)),
+                             jnp.float32)
+        ct_den = jnp.asarray(rng.normal(size=(plan.num_nodes, hp)),
+                             jnp.float32)
+        got = _fused_bwd(plan, heads, False, res, (ct_num, ct_den))
+        want = _fused_bwd_composition(plan, heads, False, res,
+                                      (ct_num, ct_den))
+        for a, b in zip(got, want):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            scale = np.abs(b).max() + 1e-6
+            assert np.abs(a - b).max() / scale < 5e-2
+
+    def test_rhs_gradient_vs_xla_composition(self, rng):
+        """End-to-end: grad of a scalar loss through the fused stripe RHS
+        (mega backward + col-plan dx scatter) matches the plain XLA RHS."""
+        from graph_neural_pde_tpu.config import Config
+        from graph_neural_pde_tpu.data.synthetic import make_sbm_dataset
+        from graph_neural_pde_tpu.models.blocks import (
+            build_stripe_engine, init_block, prepare_graph)
+        from graph_neural_pde_tpu.models.functions import FuncAux, make_rhs
+
+        ds = make_sbm_dataset(num_nodes=40, num_classes=3, num_features=8,
+                              seed=1)
+        cfg = Config(block="constant", function="transformer",
+                     attention_type="scaled_dot", heads=2, attention_dim=8,
+                     hidden_dim=8, add_source=True, stripe_fused=True,
+                     stripe_block_n=8, stripe_chunk=16,
+                     stripe_chunk_auto=False)
+        g = prepare_graph(cfg, ds.graph)
+        g2, plan = build_stripe_engine(cfg, g)
+        assert plan is not None and plan.col_plan is not None
+        params = init_block(jax.random.PRNGKey(0), cfg, 8)["func"]
+        # non-degenerate attention weights (init is 1e-5 constant)
+        params = jax.tree_util.tree_map(
+            lambda p: p + 0.1 * jax.random.normal(
+                jax.random.PRNGKey(1), p.shape), params)
+        x = jnp.asarray(rng.normal(size=(g2.num_nodes, 8)), jnp.float32)
+        aux = FuncAux(attention=None, x0=x, edge_weight=g2.weight)
+
+        rhs_fast = make_rhs(cfg, g2, stripe_plan=plan)
+        rhs_ref = make_rhs(cfg.replace(stripe_fused=False), g2)
+
+        def loss(rhs):
+            def f(p, xx):
+                out = rhs(p, aux, 0.0, xx)
+                return jnp.sum(out * jnp.cos(jnp.arange(out.size)
+                                             .reshape(out.shape) * 0.1))
+            return f
+
+        gf = jax.grad(loss(rhs_fast), argnums=(0, 1))(params, x)
+        gr = jax.grad(loss(rhs_ref), argnums=(0, 1))(params, x)
+        flat_f, _ = jax.flatten_util.ravel_pytree(gf)
+        flat_r, _ = jax.flatten_util.ravel_pytree(gr)
+        scale = float(jnp.abs(flat_r).max()) + 1e-6
+        err = float(jnp.abs(flat_f - flat_r).max()) / scale
+        assert err < 5e-2, err

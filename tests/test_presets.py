@@ -23,6 +23,38 @@ def dataset():
                             seed=13)
 
 
+def test_presets_select_stripe_engine(dataset):
+    """Every tuned config rides the stripe MXU engine once stripe_fused
+    resolves ON (the TPU auto-default): all presets use function=laplacian,
+    so build_stripe_engine must return a plan and GNNModel must route its
+    aggregation through make_stripe_spmm. Forced True here because the CPU
+    auto-resolution is OFF."""
+    from graph_neural_pde_tpu.models.blocks import (
+        build_stripe_engine, prepare_graph)
+    for name, cfg0 in best_params.items():
+        cfg = cfg0.replace(stripe_fused=True, stripe_block_n=8,
+                           stripe_chunk=16, hidden_dim=16, attention_dim=16,
+                           heads=2)
+        g = prepare_graph(cfg, dataset.graph)
+        _, plan = build_stripe_engine(cfg, g)
+        assert plan is not None, f"{name} did not select the stripe engine"
+        model = GNNModel(cfg, dataset.num_features, dataset.num_classes,
+                         dataset.graph)
+        assert model.spmm_fn is not None, name
+        assert model.stripe_plan is not None, name
+
+
+def test_stripe_auto_resolution_off_on_cpu(dataset):
+    """stripe_fused=None (auto) resolves OFF away from TPU backends."""
+    from graph_neural_pde_tpu.models.blocks import (
+        build_stripe_engine, prepare_graph)
+    cfg = best_params["Cora"].replace(hidden_dim=16, attention_dim=16, heads=2)
+    assert cfg.stripe_fused is None
+    g = prepare_graph(cfg, dataset.graph)
+    _, plan = build_stripe_engine(cfg, g)
+    assert plan is None  # CPU backend: auto keeps the XLA engine
+
+
 @pytest.mark.parametrize("name", sorted(best_params))
 def test_preset_trains_and_evaluates(name, dataset):
     cfg = best_params[name].replace(
