@@ -61,6 +61,59 @@ def plot_image_trajectory(paths, im_height, im_width, im_chan=1,
     return fig
 
 
+def animate_image_diffusion(paths, im_height, im_width, im_chan=1,
+                            grid_height=2, grid_width=3, labels=None,
+                            interval=10, unnormalize=False, out_path=None):
+    """FuncAnimation of the diffusion trajectory over a grid of images —
+    the reference's print_image_path animation
+    (/root/reference/src/post_analysis_image.py:58-95).
+
+    paths: [B, frames, H*W*C] node-state snapshots (GNNImage
+    forward_plot_path). ``unnormalize`` applies the CIFAR A/2+0.5 rescale.
+    Returns the matplotlib FuncAnimation; with ``out_path`` also saves it
+    (.gif via pillow — the in-image writer; .mp4 needs ffmpeg).
+    """
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import FuncAnimation
+
+    paths = np.asarray(paths)
+    n_img = min(grid_height * grid_width, paths.shape[0])
+    frames = paths.shape[1]
+
+    def img_of(i, f):
+        a = paths[i, f].reshape(im_height, im_width, im_chan).squeeze()
+        return a / 2 + 0.5 if unnormalize else a
+
+    fig, axes = plt.subplots(grid_height, grid_width,
+                             figsize=(2.2 * grid_width, 2.4 * grid_height))
+    axes = np.atleast_1d(axes).ravel()
+    ims = []
+    for i in range(n_img):
+        ax = axes[i]
+        im = ax.imshow(img_of(i, 0), cmap="gray" if im_chan == 1 else None,
+                       interpolation="none")
+        title = (f"t=0 Ground Truth: {labels[i]}" if labels is not None
+                 else "t=0")
+        ax.set_title(title, fontsize=8)
+        ax.axis("off")
+        ims.append(im)
+    for ax in axes[n_img:]:
+        ax.axis("off")
+
+    def update(f):
+        for i in range(n_img):
+            ims[i].set_data(img_of(i, f))
+            title = (f"t={f} Ground Truth: {labels[i]}" if labels is not None
+                     else f"t={f}")
+            axes[i].set_title(title, fontsize=8)
+        return ims
+
+    anim = FuncAnimation(fig, update, frames=frames, interval=interval)
+    if out_path:
+        anim.save(out_path, writer="pillow")
+    return anim
+
+
 def attention_heatmap(g, attention, max_nodes=64, ax=None):
     """Dense [n, n] heatmap of head-mean attention (plot_att_heat,
     post_analysis_image.py)."""

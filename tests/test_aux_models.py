@@ -101,6 +101,20 @@ class TestImageGraph:
         paths = model.forward_plot_path(params, jnp.asarray(x), frames=3)
         assert paths.shape == (8, 4, data.h * data.w * data.c)
 
+    def test_animate_image_diffusion(self, tmp_path):
+        """FuncAnimation equivalent of post_analysis_image.py:58-95."""
+        import matplotlib
+        matplotlib.use("Agg")
+        from graph_neural_pde_tpu.utils.visualise import (
+            animate_image_diffusion)
+        paths = np.random.default_rng(0).normal(size=(6, 4, 8 * 8))
+        out = tmp_path / "diffusion.gif"
+        anim = animate_image_diffusion(paths, 8, 8, 1, grid_height=2,
+                                       grid_width=3, labels=[0, 1, 2, 3, 4, 5],
+                                       out_path=str(out))
+        assert anim is not None
+        assert out.exists() and out.stat().st_size > 0
+
 
 class TestGNNKNN:
     def test_rewire_and_fa_layer(self, dataset):
