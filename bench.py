@@ -210,8 +210,10 @@ def verify_kernels_on_device():
     ct_num = jnp.asarray(rng.normal(size=(plan.num_nodes, heads * d)),
                          jnp.float32)
     ct_den = jnp.asarray(rng.normal(size=(plan.num_nodes, hp)), jnp.float32)
-    res = (qw, qb, kw, kb, x_nodes, x_g, jnp.zeros((), jnp.float32))
-    got = _fused_bwd(plan, heads, False, res, (ct_num, ct_den))
+    res = (qw, qb, kw, kb, x_nodes, x_g, jnp.zeros((), jnp.float32),
+           None, ())
+    got = _fused_bwd(plan, heads, False, "scaled_dot", res,
+                     (ct_num, ct_den))[:7]
     want = _fused_bwd_composition(plan, heads, False, res, (ct_num, ct_den))
     for name, a, b in zip(("dqw", "dqb", "dkw", "dkb", "dx_n", "dx_g",
                            "dgmax"), got, want):
@@ -299,6 +301,22 @@ def main():
         except Exception as ex:  # noqa: BLE001
             print(f"# train[{mode}] failed: {ex}", file=sys.stderr)
 
+    # secondary: a NON-scaled-dot score family through the same one-pass
+    # kernel (VERDICT r2 #3b: the fast engine must cover the tuned configs'
+    # score types — Pubmed is cosine_sim, Photo pearson, Citeseer
+    # exp_kernel)
+    cosine_rate = None
+    try:
+        from graph_neural_pde_tpu.models.gnn import GNNModel as _G
+        m_c = _G(model.cfg.replace(attention_type="cosine_sim"), nf, nc,
+                 g_raw)
+        nfe_c, dt_c, _ = _time_forward(m_c, params, state, x)
+        cosine_rate = nfe_c * e_valid / dt_c
+        print(f"# cosine_sim secondary: {cosine_rate/1e6:.1f}M "
+              f"({dt_c*1000:.0f} ms fwd)", file=sys.stderr)
+    except Exception as ex:  # noqa: BLE001
+        print(f"# cosine secondary failed: {ex}", file=sys.stderr)
+
     # secondary: GRAND-l solved by the Chebyshev expm expansion — the linear
     # frozen-attention family every tuned best_params config belongs to
     cheby_rate = None
@@ -320,6 +338,9 @@ def main():
         out["train_edge_updates_per_sec_nfe"] = round(train_rate, 1)
         for mode, ms in train_ms.items():
             out[f"train_step_ms_{mode}"] = round(ms, 1)
+    if cosine_rate is not None:
+        out["grand_nl_cosine_edge_updates_per_sec_nfe"] = round(
+            cosine_rate, 1)
     if cheby_rate is not None:
         out["grand_l_cheby_edge_updates_per_sec"] = round(cheby_rate, 1)
         out["grand_l_cheby_vs_baseline"] = round(cheby_rate / baseline, 3)

@@ -61,8 +61,8 @@ def main():
     _sync(x_g)
 
     # fwd primal (scratch kernel)
-    f_ax = jax.jit(lambda xg: fused_rhs_ax(plan, heads, False, qw, qb, kw,
-                                           kb, xs, xg, gmax))
+    f_ax = jax.jit(lambda xg: fused_rhs_ax(plan, heads, False, "scaled_dot",
+                                           qw, qb, kw, kb, xs, xg, gmax))
     timeit(f_ax, x_g, label="fwd_ax_scratch_kernel")
 
     # vjp-mode forward (num/den kernel)
@@ -76,8 +76,9 @@ def main():
     ct_den = jnp.asarray(rng.normal(size=(n_pad, hp)), jnp.float32)
 
     def mega(xn, xg, ctn, ctd):
-        return _fused_bwd(plan, heads, False,
-                          (qw, qb, kw, kb, xn, xg, gmax), (ctn, ctd))
+        return _fused_bwd(plan, heads, False, "scaled_dot",
+                          (qw, qb, kw, kb, xn, xg, gmax, None, ()),
+                          (ctn, ctd))
 
     timeit(jax.jit(mega), xs, x_g, ct_num, ct_den,
            label="mega_bwd(+node matmuls)")

@@ -114,16 +114,30 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
 
     # one-pass Mosaic kernel: scores + softmax numerators/denominators fused
     # with the aggregation, so only the x[col] gather touches HBM per eval.
-    # Softmax only (the global-max shift is gradient-free by invariance;
-    # squareplus differentiates through the max and keeps the composition).
+    # All four score families (function_transformer_attention.py:193-206)
+    # compute in-kernel from the same src/k_e operands; softmax
+    # normalisation only (the global-max shift is gradient-free by
+    # invariance; squareplus differentiates through the max and keeps the
+    # composition). EXACT-softmax row-max shifts exist for scaled_dot; the
+    # other families are bounded (cosine/pearson in [-1,1]; exp_kernel in
+    # (0, var^2]) so the exact mode routes through the composition path in
+    # the rare var-blowup case.
     use_mega = (stripe_plan is not None
-                and cfg.attention_type == "scaled_dot"
+                and cfg.attention_type in ("scaled_dot", "cosine_sim",
+                                           "pearson", "exp_kernel")
                 and not cfg.square_plus and not cfg.reweight_attention
-                and not beltrami_exp)
+                and not beltrami_exp
+                and not (exact_softmax
+                         and cfg.attention_type != "scaled_dot"))
     if use_mega:
         from graph_neural_pde_tpu.ops.pallas.fused_rhs import (
             fused_rhs_ax, fused_rowmax)
 
+        score = cfg.attention_type
+        score_params = ()
+        if score == "exp_kernel":
+            score_params = (ap["output_var"].reshape(()),
+                            ap["lengthscale"].reshape(()))
         x_g = _col_gather(g, stripe_plan, x, pay_dt)
         # softmax is shift-invariant, so NO max pass is needed: exp runs
         # unshifted (exact while scores stay within f32's ±88 exp range).
@@ -149,11 +163,12 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
                                 sg(ap["K"]["b"]), heads=h, x_g=sg(x_g))
             shifts = tuple(smax[:, hh][g.row] for hh in range(h))
         # undifferentiated forward = scratch-accumulator kernel (the [N,H·D]
-        # numerators never reach HBM); under vjp the num/den kernel runs
-        ax, den = fused_rhs_ax(stripe_plan, h, False,
+        # numerators never reach HBM); under vjp the same kernel also
+        # flushes the bf16 num residual
+        ax, den = fused_rhs_ax(stripe_plan, h, False, score,
                                ap["Q"]["w"], ap["Q"]["b"],
                                ap["K"]["w"], ap["K"]["b"],
-                               x, x_g, gmax, shifts)
+                               x, x_g, gmax, shifts, score_params)
         if not exact_softmax:
             den_h = den[:, :h]
             deg = jnp.asarray(stripe_plan.node_degree)

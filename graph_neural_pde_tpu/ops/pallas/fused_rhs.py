@@ -62,10 +62,110 @@ def _shift_matrix(shift_refs, chunk, heads, hp):
     return jnp.concatenate(cols, axis=1)
 
 
+_EPS_NORM = 1e-5        # reference cosine/pearson eps (models.attention._scores)
+
+
+def _kernel_scores(src, k_e, sel, d_k, score, sp_extra, dtype):
+    """Per-head scores [chunk, hp] from src/k_e [chunk, ATT] — all four
+    reference score families (function_transformer_attention.py:193-206)
+    via head-selector MXU contractions.
+
+    Returns (s, aux) where ``aux`` carries the per-head intermediates the
+    backward needs. sp_extra: (var, ls) scalars for exp_kernel.
+    """
+    def selmm(a):
+        return jnp.dot(a.astype(dtype), sel.astype(dtype),
+                       preferred_element_type=jnp.float32)
+
+    sp = selmm((src * k_e).astype(dtype))                # Σ_h src·k
+    if score == "scaled_dot":
+        return sp / math.sqrt(d_k), (sp,)
+    ss = selmm((src * src).astype(dtype))
+    kk = selmm((k_e * k_e).astype(dtype))
+    if score == "cosine_sim":
+        ns = jnp.maximum(jnp.sqrt(jnp.maximum(ss, 0.0)), _EPS_NORM)
+        nk = jnp.maximum(jnp.sqrt(jnp.maximum(kk, 0.0)), _EPS_NORM)
+        return sp / (ns * nk), (sp, ss, kk, ns, nk)
+    if score == "pearson":
+        ms = selmm(src) / d_k
+        mk = selmm(k_e) / d_k
+        spc = sp - d_k * ms * mk
+        ssc = jnp.maximum(ss - d_k * ms * ms, 0.0)
+        kkc = jnp.maximum(kk - d_k * mk * mk, 0.0)
+        ns = jnp.maximum(jnp.sqrt(ssc), _EPS_NORM)
+        nk = jnp.maximum(jnp.sqrt(kkc), _EPS_NORM)
+        return spc / (ns * nk), (spc, ssc, kkc, ns, nk, ms, mk)
+    if score == "exp_kernel":
+        var, ls = sp_extra
+        dist = jnp.maximum(ss - 2.0 * sp + kk, 0.0)
+        s = var * var * jnp.exp(-dist / (2.0 * ls * ls))
+        return s, (dist, s)
+    raise ValueError(f"unknown score '{score}'")
+
+
+def _kernel_scores_bwd(ds, src, k_e, sel, selT_mm, d_k, score, sp_extra,
+                       aux):
+    """Map d/ds [chunk, hp] back to (dsrc, dk_e [chunk, ATT], extras).
+
+    ``selT_mm(a)`` expands per-head [chunk, hp] scalars over head feature
+    slices ([chunk, ATT]). Returns (dsrc, dke, dvar_sum, dls_sum) — the
+    last two are scalar accumulands (nonzero only for exp_kernel).
+    """
+    zero = jnp.zeros((), jnp.float32)
+    if score == "scaled_dot":
+        dse = selT_mm(ds) / math.sqrt(d_k)
+        return dse * k_e, dse * src, zero, zero
+    if score == "cosine_sim":
+        sp, ss, kk, ns, nk = aux
+        s = sp / (ns * nk)
+        gs = (jnp.sqrt(jnp.maximum(ss, 0.0)) > _EPS_NORM).astype(jnp.float32)
+        gk = (jnp.sqrt(jnp.maximum(kk, 0.0)) > _EPS_NORM).astype(jnp.float32)
+        a = ds / (ns * nk)
+        bs = ds * s * gs / jnp.maximum(ss, _EPS_NORM * _EPS_NORM)
+        bk = ds * s * gk / jnp.maximum(kk, _EPS_NORM * _EPS_NORM)
+        dsrc = selT_mm(a) * k_e - selT_mm(bs) * src
+        dke = selT_mm(a) * src - selT_mm(bk) * k_e
+        return dsrc, dke, zero, zero
+    if score == "pearson":
+        spc, ssc, kkc, ns, nk, ms, mk = aux
+        s = spc / (ns * nk)
+        gs = (jnp.sqrt(ssc) > _EPS_NORM).astype(jnp.float32)
+        gk = (jnp.sqrt(kkc) > _EPS_NORM).astype(jnp.float32)
+        a = ds / (ns * nk)
+        bs = ds * s * gs / jnp.maximum(ssc, _EPS_NORM * _EPS_NORM)
+        bk = ds * s * gk / jnp.maximum(kkc, _EPS_NORM * _EPS_NORM)
+        src_c = src - selT_mm(ms)
+        k_c = k_e - selT_mm(mk)
+        v_src = selT_mm(a) * k_c - selT_mm(bs) * src_c
+        v_ke = selT_mm(a) * src_c - selT_mm(bk) * k_c
+        # centering projection: subtract the per-head mean of each gradient
+        def center(v):
+            m = jnp.dot(v.astype(jnp.float32), sel.astype(jnp.float32),
+                        preferred_element_type=jnp.float32) / d_k
+            return v - selT_mm(m)
+        return center(v_src), center(v_ke), zero, zero
+    if score == "exp_kernel":
+        var, ls = sp_extra
+        dist, s = aux
+        c = ds * s / (ls * ls)                       # [chunk, hp]
+        diff = src - k_e
+        dsrc = -selT_mm(c) * diff
+        dvar = jnp.sum(ds * (2.0 * s / var))
+        dls = jnp.sum(ds * s * dist) / (ls ** 3)
+        return dsrc, -dsrc, dvar, dls
+    raise ValueError(f"unknown score '{score}'")
+
+
 def _rhs_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref, qb_ref,
                 kw_ref, kb_ref, sel_ref, gmax_ref, *rest,
                 chunk, block_n, d, att, heads, hp, d_k, square_plus, dtype,
-                with_shift=False):
+                with_shift=False, score="scaled_dot"):
+    if score == "exp_kernel":
+        var_ref, ls_ref = rest[:2]
+        rest = rest[2:]
+        sp_extra = (var_ref[0, 0], ls_ref[0, 0])
+    else:
+        sp_extra = None
     if with_shift:
         shift_refs = rest[:heads]
         num_ref, den_ref = rest[heads:]
@@ -104,10 +204,9 @@ def _rhs_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref, qb_ref,
     k_e = jnp.dot(xe, kw_ref[:].astype(dtype),
                   preferred_element_type=jnp.float32) + kb_ref[:]
 
-    # scaled-dot per-head scores via the head-selector matmul
-    prod = (src * k_e).astype(dtype)
-    s = jnp.dot(prod, sel_ref[:].astype(dtype),
-                preferred_element_type=jnp.float32) / math.sqrt(d_k)
+    # per-head scores via head-selector matmuls (all 4 reference families)
+    s, _saux = _kernel_scores(src, k_e, sel_ref[:], d_k, score, sp_extra,
+                              dtype)
 
     sm = s - gmax_ref[0, 0]
     if with_shift:
@@ -136,7 +235,7 @@ def _rhs_kernel_ax(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref,
                    qb_ref, kw_ref, kb_ref, sel_ref, gmax_ref, *rest,
                    chunk, block_n, d, att, heads, hp,
                    d_k, square_plus, dtype, with_shift=False,
-                   with_num=False):
+                   with_num=False, score="scaled_dot"):
     """Evaluation variant: the [N, H·D] numerators accumulate in VMEM
     scratch and only the per-head-averaged ax = (1/H)·Σ_h num_h/(den_h+eps)
     (plus the small den, for the underflow guard) is written to HBM —
@@ -148,6 +247,12 @@ def _rhs_kernel_ax(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref,
     output — the vjp-mode forward's residual (the backward mega-kernel's
     ct_den update needs num), replacing the separate full-precision num/den
     kernel (measured 12.7 vs 7.7 ms per eval at bench scale)."""
+    if score == "exp_kernel":
+        var_ref, ls_ref = rest[:2]
+        rest = rest[2:]
+        sp_extra = (var_ref[0, 0], ls_ref[0, 0])
+    else:
+        sp_extra = None
     if with_shift:
         shift_refs = rest[:heads]
         rest = rest[heads:]
@@ -177,9 +282,8 @@ def _rhs_kernel_ax(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref,
         preferred_element_type=jnp.float32)
     k_e = jnp.dot(xe, kw_ref[:].astype(dtype),
                   preferred_element_type=jnp.float32) + kb_ref[:]
-    prod = (src * k_e).astype(dtype)
-    s = jnp.dot(prod, sel_ref[:].astype(dtype),
-                preferred_element_type=jnp.float32) / math.sqrt(d_k)
+    s, _saux = _kernel_scores(src, k_e, sel_ref[:], d_k, score, sp_extra,
+                              dtype)
     sm = s - gmax_ref[0, 0]
     if with_shift:
         sm = sm - _shift_matrix(shift_refs, chunk, heads, hp)
@@ -208,7 +312,8 @@ def _rhs_kernel_ax(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref,
 def _fused_ax_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
                    heads: int, square_plus: bool, dtype=jnp.bfloat16,
                    interpret: bool | None = None, shifts=None,
-                   want_num: bool = False):
+                   want_num: bool = False, score: str = "scaled_dot",
+                   score_params=()):
     """(ax [N, D], den [N, Hp]) via the scratch-accumulator kernel, plus a
     bf16 num [N, H·D] residual when ``want_num`` (the vjp-mode forward).
 
@@ -251,6 +356,12 @@ def _fused_ax_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
     ]
     args = [jnp.asarray(plan.chunk_rows), jnp.asarray(plan.row_local),
             valid, x_g, x_n, qw, qb2, kw, kb2, sel, gmax2]
+    if score == "exp_kernel":
+        var, ls = score_params
+        for v in (var, ls):
+            in_specs.append(pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
+                                         memory_space=pltpu.SMEM))
+            args.append(jnp.reshape(v.astype(jnp.float32), (1, 1)))
     if with_shift:
         for sh in shifts:
             assert sh.shape == (cap,)
@@ -279,7 +390,7 @@ def _fused_ax_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
     kernel = functools.partial(
         _rhs_kernel_ax, chunk=chunk, block_n=block_n, d=d, att=att,
         heads=heads, hp=hp, d_k=d_k, square_plus=square_plus, dtype=dtype,
-        with_shift=with_shift, with_num=want_num)
+        with_shift=with_shift, with_num=want_num, score=score)
     flops = 2 * nc * chunk * (block_n * (att + heads * d + hp) + d * att)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
@@ -293,7 +404,8 @@ def _fused_ax_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
 
 def _fused_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
                 heads: int, square_plus: bool, dtype=jnp.bfloat16,
-                interpret: bool | None = None, shifts=None):
+                interpret: bool | None = None, shifts=None,
+                score: str = "scaled_dot", score_params=()):
     cap, d = x_g.shape
     att = qw.shape[1]
     assert cap == plan.capacity and kw.shape == (d, att)
@@ -330,6 +442,12 @@ def _fused_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
     ]
     args = [jnp.asarray(plan.chunk_rows), jnp.asarray(plan.row_local),
             valid, x_g, x_n, qw, qb2, kw, kb2, sel, gmax2]
+    if score == "exp_kernel":
+        var, ls = score_params
+        for v in (var, ls):
+            in_specs.append(pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
+                                         memory_space=pltpu.SMEM))
+            args.append(jnp.reshape(v.astype(jnp.float32), (1, 1)))
     if with_shift:
         for sh in shifts:
             assert sh.shape == (cap,)
@@ -347,7 +465,7 @@ def _fused_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
     kernel = functools.partial(
         _rhs_kernel, chunk=chunk, block_n=block_n, d=d, att=att, heads=heads,
         hp=hp, d_k=d_k, square_plus=square_plus, dtype=dtype,
-        with_shift=with_shift)
+        with_shift=with_shift, score=score)
     flops = 2 * nc * chunk * (block_n * (att + heads * d + hp) + d * att)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
@@ -537,13 +655,23 @@ def fused_rowmax(plan: StripePlan, q, kw, kb, *, heads: int, x_g,
 def _bwd_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref, qb_ref,
                 kw_ref, kb_ref, sel_ref, gmax_ref, ctn_ref, ctd_ref, *rest,
                 chunk, block_n, d, att, heads, hp, d_k, square_plus, dtype,
-                with_shift=False):
+                with_shift=False, score="scaled_dot"):
+    if score == "exp_kernel":
+        var_ref, ls_ref = rest[:2]
+        rest = rest[2:]
+        sp_extra = (var_ref[0, 0], ls_ref[0, 0])
+    else:
+        sp_extra = None
     if with_shift:
         shift_refs = rest[:heads]
-        dq_ref, dxg_ref, dkw_ref, dkb_ref, dgm_ref = rest[heads:]
+        rest = rest[heads:]
     else:
         shift_refs = None
+    if score == "exp_kernel":
+        dq_ref, dxg_ref, dkw_ref, dkb_ref, dgm_ref, dex_ref = rest
+    else:
         dq_ref, dxg_ref, dkw_ref, dkb_ref, dgm_ref = rest
+        dex_ref = None
     i = pl.program_id(0)
     prev = cr_ref[jnp.maximum(i - 1, 0)]
 
@@ -552,6 +680,8 @@ def _bwd_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref, qb_ref,
         dkw_ref[:] = jnp.zeros_like(dkw_ref)
         dkb_ref[:] = jnp.zeros_like(dkb_ref)
         dgm_ref[:] = jnp.zeros_like(dgm_ref)
+        if dex_ref is not None:
+            dex_ref[:] = jnp.zeros_like(dex_ref)
 
     @pl.when((i == 0) | (cr_ref[i] != prev))
     def _():
@@ -572,9 +702,8 @@ def _bwd_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref, qb_ref,
                               preferred_element_type=jnp.float32)
     k_e = jnp.dot(xe, kw_ref[:].astype(dtype),
                   preferred_element_type=jnp.float32) + kb_ref[:]
-    prod = (src * k_e).astype(dtype)
-    s = jnp.dot(prod, sel_ref[:].astype(dtype),
-                preferred_element_type=jnp.float32) / math.sqrt(d_k)
+    s, saux = _kernel_scores(src, k_e, sel_ref[:], d_k, score, sp_extra,
+                             dtype)
     sm = s - gmax_ref[0, 0]
     if with_shift:
         sm = sm - _shift_matrix(shift_refs, chunk, heads, hp)
@@ -608,12 +737,16 @@ def _bwd_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref, qb_ref,
     ds = du * duds                                             # masked via duds
 
     # ---- per-edge gradients ---------------------------------------------
-    # expand ds back over head feature slices with the selector transpose
-    dse = jax.lax.dot_general(
-        ds, sel_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) / math.sqrt(d_k)   # [chunk, ATT]
-    dsrc = (dse * k_e).astype(dtype)
-    dke = dse * src                                            # [chunk, ATT]
+    # expand per-head scalars over head feature slices with the selector
+    # transpose, per score family
+    def selT_mm(a):
+        return jax.lax.dot_general(
+            a, sel_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dsrc_f, dke, dvar, dls = _kernel_scores_bwd(
+        ds, src, k_e, sel_ref[:], selT_mm, d_k, score, sp_extra, saux)
+    dsrc = dsrc_f.astype(dtype)
 
     dq_ref[:] += jnp.dot(pt, dsrc, preferred_element_type=jnp.float32)
     dke_l = dke.astype(dtype)
@@ -623,6 +756,10 @@ def _bwd_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref, qb_ref,
                                    dkb_ref.shape)
     dgm_ref[:] += jnp.broadcast_to(jnp.sum(ds, axis=0, keepdims=True),
                                    dgm_ref.shape)
+    if dex_ref is not None:
+        cid = jax.lax.broadcasted_iota(jnp.int32, dex_ref.shape, 1)
+        dex_ref[:] += jnp.where(cid == 0, dvar,
+                                jnp.where(cid == 1, dls, 0.0))
     dxg_ref[:] = dxg_acc + jax.lax.dot_general(
         dke_l, kw_ref[:].astype(dtype), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -631,8 +768,10 @@ def _bwd_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref, qb_ref,
 def _fused_bwd_mega_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax,
                          ct_num, ct_den, *, heads: int, square_plus: bool,
                          dtype=jnp.bfloat16, interpret: bool | None = None,
-                         shifts=None):
-    """(dq [N, ATT], dxg [cap, D], dkw [D, ATT], dkb [ATT], dgmax scalar)."""
+                         shifts=None, score: str = "scaled_dot",
+                         score_params=()):
+    """(dq [N, ATT], dxg [cap, D], dkw [D, ATT], dkb [ATT], dgmax scalar,
+    dextra) — dextra = (dvar, dls) for exp_kernel, else ()."""
     cap, d = x_g.shape
     att = qw.shape[1]
     assert cap == plan.capacity and ct_num.shape == (plan.num_nodes, heads * d)
@@ -668,45 +807,64 @@ def _fused_bwd_mega_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax,
     args = [jnp.asarray(plan.chunk_rows), jnp.asarray(plan.row_local),
             valid, x_g, x_n, qw, qb2, kw, kb2, sel, gmax2,
             ct_num, ct_den]
+    if score == "exp_kernel":
+        var, ls = score_params
+        for v in (var, ls):
+            in_specs.append(pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
+                                         memory_space=pltpu.SMEM))
+            args.append(jnp.reshape(v.astype(jnp.float32), (1, 1)))
     if with_shift:
         for sh in shifts:
             assert sh.shape == (cap,)
             in_specs.append(pl.BlockSpec((chunk,), lambda i, cr: (i,)))
             args.append(sh.astype(jnp.float32))
+    out_specs = [
+        pl.BlockSpec((block_n, att), lambda i, cr: (cr[i], 0)),  # dq
+        pl.BlockSpec((chunk, d), lambda i, cr: (i, 0)),          # dxg
+        pl.BlockSpec((d, att), lambda i, cr: (0, 0)),            # dkw
+        pl.BlockSpec((8, att), lambda i, cr: (0, 0)),            # dkb
+        pl.BlockSpec((8, hp), lambda i, cr: (0, 0)),             # dgm
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((plan.num_nodes, att), jnp.float32),
+        jax.ShapeDtypeStruct((cap, d), jnp.float32),
+        jax.ShapeDtypeStruct((d, att), jnp.float32),
+        jax.ShapeDtypeStruct((8, att), jnp.float32),
+        jax.ShapeDtypeStruct((8, hp), jnp.float32),
+    ]
+    if score == "exp_kernel":
+        out_specs.append(pl.BlockSpec((8, 8), lambda i, cr: (0, 0)))  # dex
+        out_shape.append(jax.ShapeDtypeStruct((8, 8), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nc,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((block_n, att), lambda i, cr: (cr[i], 0)),  # dq
-            pl.BlockSpec((chunk, d), lambda i, cr: (i, 0)),          # dxg
-            pl.BlockSpec((d, att), lambda i, cr: (0, 0)),            # dkw
-            pl.BlockSpec((8, att), lambda i, cr: (0, 0)),            # dkb
-            pl.BlockSpec((8, hp), lambda i, cr: (0, 0)),             # dgm
-        ),
+        out_specs=tuple(out_specs),
     )
     kernel = functools.partial(
         _bwd_kernel, chunk=chunk, block_n=block_n, d=d, att=att, heads=heads,
         hp=hp, d_k=d_k, square_plus=square_plus, dtype=dtype,
-        with_shift=with_shift)
+        with_shift=with_shift, score=score)
     flops = 2 * nc * chunk * block_n * (att + 2 * heads * d + hp + att) \
         + 2 * nc * chunk * (d * att * 2 + att * hp * 2)
-    dq, dxg, dkw, dkb8, dgm8 = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((plan.num_nodes, att), jnp.float32),
-            jax.ShapeDtypeStruct((cap, d), jnp.float32),
-            jax.ShapeDtypeStruct((d, att), jnp.float32),
-            jax.ShapeDtypeStruct((8, att), jnp.float32),
-            jax.ShapeDtypeStruct((8, hp), jnp.float32)),
+        out_shape=tuple(out_shape),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=nc * chunk * d * 8,
             transcendentals=nc * chunk * hp),
         interpret=interpret,
     )(*args)
+    dq, dxg, dkw, dkb8, dgm8 = outs[:5]
     dkb = dkb8[0]
     dgmax = -jnp.sum(dgm8[0, :heads])
-    return dq, dxg, dkw, dkb, dgmax
+    dextra = ()
+    if score == "exp_kernel":
+        dex = outs[5]
+        var, ls = score_params
+        dextra = (dex[0, 0].astype(var.dtype).reshape(var.shape),
+                  dex[0, 1].astype(ls.dtype).reshape(ls.shape))
+    return dq, dxg, dkw, dkb, dgmax, dextra
 
 
 def _scores_u(plan, q, kw, kb, x_g, gmax, heads, square_plus, shifts=None):
@@ -743,56 +901,68 @@ def _scores_u(plan, q, kw, kb, x_g, gmax, heads, square_plus, shifts=None):
     return src, k_e, us, dudsms
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def fused_rhs_aggregate(plan: StripePlan, heads: int, square_plus: bool,
-                        qw, qb, kw, kb, x_n, x_g, gmax):
-    """(num [N, H·D], den [N, Hp]) of the scaled-dot attention RHS.
+                        score: str, qw, qb, kw, kb, x_n, x_g, gmax,
+                        score_params=()):
+    """(num [N, H·D], den [N, Hp]) of the fused attention RHS.
 
     qw/qb: Q projection (computed in-kernel from x_n's block rows — the q
     table never exists in HBM); kw/kb: K projection; x_n: [N, D] node
     states in plan node order; x_g: x[col] per plan slot (payload dtype);
-    gmax: scalar score shift.
+    gmax: scalar score shift. ``score``: any of the 4 reference score
+    families; ``score_params``: (output_var, lengthscale) scalars for
+    exp_kernel, else ().
     """
     return _fused_call(plan, qw, qb, kw, kb, x_n, x_g, gmax, heads=heads,
-                       square_plus=square_plus)
+                       square_plus=square_plus, score=score,
+                       score_params=score_params)
 
 
-def _fused_fwd(plan, heads, square_plus, qw, qb, kw, kb, x_n, x_g, gmax):
+def _fused_fwd(plan, heads, square_plus, score, qw, qb, kw, kb, x_n, x_g,
+               gmax, score_params=()):
     out = _fused_call(plan, qw, qb, kw, kb, x_n, x_g, gmax, heads=heads,
-                      square_plus=square_plus)
-    return out, (qw, qb, kw, kb, x_n, x_g, gmax)
+                      square_plus=square_plus, score=score,
+                      score_params=score_params)
+    return out, (qw, qb, kw, kb, x_n, x_g, gmax, None, score_params)
 
 
-def _fused_bwd(plan, heads, square_plus, res, cts):
+def _fused_bwd(plan, heads, square_plus, score, res, cts):
     """Backward of the fused aggregate — the round-3 mega kernel.
 
-    One Mosaic pass (_bwd_kernel) produces dq/dxg/dkw/dkb/dgmax; only the
-    cheap node-level matmuls (dqw, dqb, dx_n) remain outside. The stripe
-    composition (_fused_bwd_composition) is kept as the oracle these
-    gradients are pinned against in tests and in bench's on-device
-    verification."""
-    if len(res) == 8:
-        qw, qb, kw, kb, x_n, x_g, gmax, shifts = res
-    else:
-        qw, qb, kw, kb, x_n, x_g, gmax = res
-        shifts = None
+    One Mosaic pass (_bwd_kernel) produces dq/dxg/dkw/dkb/dgmax (+ the
+    exp_kernel var/lengthscale grads); only the cheap node-level matmuls
+    (dqw, dqb, dx_n) remain outside. The hand-derived stripe composition
+    (_fused_bwd_composition, scaled_dot) and jax.grad of the XLA RHS remain
+    the oracles these gradients are pinned against in tests and in bench's
+    on-device verification."""
+    qw, qb, kw, kb, x_n, x_g, gmax, shifts, score_params = res
     ct_num, ct_den = cts
-    dq, dxg, dkw, dkb, dgmax = _fused_bwd_mega_call(
+    dq, dxg, dkw, dkb, dgmax, dextra = _fused_bwd_mega_call(
         plan, qw, qb, kw, kb, x_n, x_g, gmax, ct_num, ct_den,
-        heads=heads, square_plus=square_plus, shifts=shifts)
+        heads=heads, square_plus=square_plus, shifts=shifts, score=score,
+        score_params=score_params)
     xn_f = x_n.astype(jnp.float32)
     dqw = xn_f.T @ dq
     dqb = jnp.sum(dq, axis=0)
     dx_n = (dq @ qw.T).astype(x_n.dtype)
-    return dqw, dqb, dkw, dkb, dx_n, dxg.astype(x_g.dtype), dgmax
+    return (dqw, dqb, dkw, dkb, dx_n, dxg.astype(x_g.dtype), dgmax,
+            dextra)
 
 
 def _fused_bwd_composition(plan, heads, square_plus, res, cts):
-    """Hand-derived backward over per-head 1-D [cap] intermediates.
+    """Hand-derived backward over per-head 1-D [cap] intermediates
+    (scaled_dot scores — the independent oracle the mega kernel is pinned
+    against; the other score families are verified against jax.grad of the
+    XLA composition in tests).
 
     The [cap, H(, D)]-shaped forms of these arrays pad 4-64x under TPU HBM
     tiling (see _scores_u); the headwise slicing keeps every materialised
     per-edge buffer either 128-wide (padding-free) or 1-D."""
+    if len(res) == 9:
+        qw, qb, kw, kb, x_n, x_g, gmax, shifts, _sp = res
+        res = (qw, qb, kw, kb, x_n, x_g, gmax) + (
+            (shifts,) if shifts is not None else ())
     if len(res) == 8:
         qw, qb, kw, kb, x_n, x_g, gmax, shifts = res
     else:
@@ -849,16 +1019,21 @@ def _ax_from_numden(num, den, heads, d):
     return ax * (1.0 / heads)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def fused_rhs_ax(plan: StripePlan, heads: int, square_plus: bool,
-                 qw, qb, kw, kb, x_n, x_g, gmax, shifts=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def fused_rhs_ax(plan: StripePlan, heads: int, square_plus: bool, score: str,
+                 qw, qb, kw, kb, x_n, x_g, gmax, shifts=None,
+                 score_params=()):
     """(ax [N, D], den [N, Hp]) — the head-averaged normalised aggregate.
 
     The undifferentiated primal runs the scratch-accumulator kernel
     (_rhs_kernel_ax): numerators never touch HBM. Under vjp the fwd rule
-    falls back to the num/den kernel (residuals feed the hand-derived
-    backward), so training keeps the existing gradient path bit-for-bit.
+    runs the same kernel with an extra bf16 numerator flush as the backward
+    residual.
 
+    ``score``: scaled_dot / cosine_sim / pearson / exp_kernel — all four
+    reference families (function_transformer_attention.py:193-206) computed
+    in-kernel from the same src/k_e operands via head-selector matmuls.
+    ``score_params``: (output_var, lengthscale) scalars for exp_kernel.
     ``shifts``: optional per-head tuple of 1-D [cap] per-edge score shifts
     (the EXACT-softmax mode: pass each edge's row max via fused_rowmax —
     ax is shift-invariant per row, so gradients w.r.t. shifts are
@@ -866,12 +1041,13 @@ def fused_rhs_ax(plan: StripePlan, heads: int, square_plus: bool,
     """
     ax, den = _fused_ax_call(plan, qw, qb, kw, kb, x_n, x_g, gmax,
                              heads=heads, square_plus=square_plus,
-                             shifts=shifts)
+                             shifts=shifts, score=score,
+                             score_params=score_params)
     return ax, den
 
 
-def _ax_fwd(plan, heads, square_plus, qw, qb, kw, kb, x_n, x_g, gmax,
-            shifts=None):
+def _ax_fwd(plan, heads, square_plus, score, qw, qb, kw, kb, x_n, x_g, gmax,
+            shifts=None, score_params=()):
     # vjp-mode forward = the same scratch kernel as the primal, plus a bf16
     # flush of the numerators (the residual _ax_bwd's ct_den term needs) —
     # replacing the separate full-precision num/den kernel (12.7 -> ~8 ms
@@ -879,26 +1055,31 @@ def _ax_fwd(plan, heads, square_plus, qw, qb, kw, kb, x_n, x_g, gmax,
     # the undifferentiated primal.
     ax, den, num = _fused_ax_call(plan, qw, qb, kw, kb, x_n, x_g, gmax,
                                   heads=heads, square_plus=square_plus,
-                                  shifts=shifts, want_num=True)
-    return (ax, den), (qw, qb, kw, kb, x_n, x_g, gmax, num, den, shifts)
+                                  shifts=shifts, want_num=True, score=score,
+                                  score_params=score_params)
+    return (ax, den), (qw, qb, kw, kb, x_n, x_g, gmax, num, den, shifts,
+                       score_params)
 
 
-def _ax_bwd(plan, heads, square_plus, res, cts):
-    qw, qb, kw, kb, x_n, x_g, gmax, num, den, shifts = res
+def _ax_bwd(plan, heads, square_plus, score, res, cts):
+    qw, qb, kw, kb, x_n, x_g, gmax, num, den, shifts, score_params = res
     ct_ax, ct_den_in = cts
     d = x_g.shape[1]
     recip = 1.0 / (den[:, :heads] + 1e-16)
     ct_num = jnp.concatenate(
         [ct_ax * (recip[:, h:h + 1] / heads) for h in range(heads)], axis=1)
-    upd = [-(jnp.sum(ct_ax * num[:, h * d:(h + 1) * d], axis=1)
-             * recip[:, h] ** 2) / heads for h in range(heads)]
+    upd = [-(jnp.sum(ct_ax * num[:, h * d:(h + 1) * d].astype(jnp.float32),
+                     axis=1) * recip[:, h] ** 2) / heads
+           for h in range(heads)]
     ct_den = ct_den_in.at[:, :heads].add(jnp.stack(upd, axis=1))
-    grads = _fused_bwd(plan, heads, square_plus,
-                       (qw, qb, kw, kb, x_n, x_g, gmax, shifts),
+    grads = _fused_bwd(plan, heads, square_plus, score,
+                       (qw, qb, kw, kb, x_n, x_g, gmax, shifts,
+                        score_params),
                        (ct_num, ct_den))
     ct_shifts = (None if shifts is None
                  else tuple(jnp.zeros_like(s) for s in shifts))
-    return grads + (ct_shifts,)
+    # grads = (dqw, dqb, dkw, dkb, dx_n, dx_g, dgmax, dextra)
+    return grads[:7] + (ct_shifts, grads[7])
 
 
 fused_rhs_ax.defvjp(_ax_fwd, _ax_bwd)

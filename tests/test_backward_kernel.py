@@ -111,13 +111,14 @@ class TestMegaBackward:
         plan, operands, _ = self._setup(rng, heads=heads)
         d = operands[5].shape[1]
         hp = max(8, heads)
+        res = operands + (None, ())
         ct_num = jnp.asarray(rng.normal(size=(plan.num_nodes, heads * d)),
                              jnp.float32)
         ct_den = jnp.asarray(rng.normal(size=(plan.num_nodes, hp)),
                              jnp.float32)
-        got = _fused_bwd(plan, heads, square_plus, operands,
-                         (ct_num, ct_den))
-        want = _fused_bwd_composition(plan, heads, square_plus, operands,
+        got = _fused_bwd(plan, heads, square_plus, "scaled_dot", res,
+                         (ct_num, ct_den))[:7]
+        want = _fused_bwd_composition(plan, heads, square_plus, res,
                                       (ct_num, ct_den))
         names = ["dqw", "dqb", "dkw", "dkb", "dx_n", "dx_g", "dgmax"]
         for name, a, b in zip(names, got, want):
@@ -137,12 +138,13 @@ class TestMegaBackward:
         shifts = tuple(
             jnp.asarray(rng.normal(size=(plan.capacity,)) * 0.3, jnp.float32)
             for _ in range(heads))
-        res = operands + (shifts,)
+        res = operands + (shifts, ())
         ct_num = jnp.asarray(rng.normal(size=(plan.num_nodes, heads * d)),
                              jnp.float32)
         ct_den = jnp.asarray(rng.normal(size=(plan.num_nodes, hp)),
                              jnp.float32)
-        got = _fused_bwd(plan, heads, False, res, (ct_num, ct_den))
+        got = _fused_bwd(plan, heads, False, "scaled_dot", res,
+                         (ct_num, ct_den))[:7]
         want = _fused_bwd_composition(plan, heads, False, res,
                                       (ct_num, ct_den))
         for a, b in zip(got, want):
@@ -150,9 +152,44 @@ class TestMegaBackward:
             scale = np.abs(b).max() + 1e-6
             assert np.abs(a - b).max() / scale < 5e-2
 
-    def test_rhs_gradient_vs_xla_composition(self, rng):
+    @pytest.mark.parametrize("score", ["scaled_dot", "cosine_sim",
+                                       "pearson", "exp_kernel"])
+    def test_rhs_forward_matches_xla_composition(self, rng, score):
+        """Forward RHS values of the mega kernel vs the XLA composition for
+        every score family."""
+        from graph_neural_pde_tpu.config import Config
+        from graph_neural_pde_tpu.data.synthetic import make_sbm_dataset
+        from graph_neural_pde_tpu.models.blocks import (
+            build_stripe_engine, init_block, prepare_graph)
+        from graph_neural_pde_tpu.models.functions import FuncAux, make_rhs
+
+        ds = make_sbm_dataset(num_nodes=40, num_classes=3, num_features=8,
+                              seed=3)
+        cfg = Config(block="constant", function="transformer",
+                     attention_type=score, heads=2, attention_dim=8,
+                     hidden_dim=8, add_source=True, stripe_fused=True,
+                     stripe_block_n=8, stripe_chunk=16,
+                     stripe_chunk_auto=False)
+        g = prepare_graph(cfg, ds.graph)
+        g2, plan = build_stripe_engine(cfg, g)
+        params = init_block(jax.random.PRNGKey(0), cfg, 8)["func"]
+        params = jax.tree_util.tree_map(
+            lambda p: p + 0.1 * jax.random.normal(
+                jax.random.PRNGKey(2), p.shape), params)
+        x = jnp.asarray(rng.normal(size=(g2.num_nodes, 8)), jnp.float32)
+        aux = FuncAux(attention=None, x0=x, edge_weight=g2.weight)
+        out_f = make_rhs(cfg, g2, stripe_plan=plan)(params, aux, 0.0, x)
+        out_r = make_rhs(cfg.replace(stripe_fused=False), g2)(
+            params, aux, 0.0, x)
+        scale = float(jnp.abs(out_r).max()) + 1e-6
+        assert float(jnp.abs(out_f - out_r).max()) / scale < 5e-2
+
+    @pytest.mark.parametrize("score", ["scaled_dot", "cosine_sim",
+                                       "pearson", "exp_kernel"])
+    def test_rhs_gradient_vs_xla_composition(self, rng, score):
         """End-to-end: grad of a scalar loss through the fused stripe RHS
-        (mega backward + col-plan dx scatter) matches the plain XLA RHS."""
+        (mega backward + col-plan dx scatter) matches the plain XLA RHS —
+        for every score family the mega kernel computes in-kernel."""
         from graph_neural_pde_tpu.config import Config
         from graph_neural_pde_tpu.data.synthetic import make_sbm_dataset
         from graph_neural_pde_tpu.models.blocks import (
@@ -162,7 +199,7 @@ class TestMegaBackward:
         ds = make_sbm_dataset(num_nodes=40, num_classes=3, num_features=8,
                               seed=1)
         cfg = Config(block="constant", function="transformer",
-                     attention_type="scaled_dot", heads=2, attention_dim=8,
+                     attention_type=score, heads=2, attention_dim=8,
                      hidden_dim=8, add_source=True, stripe_fused=True,
                      stripe_block_n=8, stripe_chunk=16,
                      stripe_chunk_auto=False)
