@@ -80,12 +80,21 @@ def main():
         jnp.where(jnp.asarray(np.asarray(plan.valid)[:, None]), c, 0.0)
         .astype(jnp.float32))), ct_bf, label="xla_unsorted_scatter (r2)")
 
-    # full current bwd composition
-    def full(c):
+    # old round-3.0 bwd composition (f32 materialise + where + scatter)
+    def full_old(c):
         ct_c = jnp.where(vmask, c.astype(jnp.float32)[src], 0.0)
         return _stripe_scatter_call(cplan, ct_c)
 
-    timeit(jax.jit(full), ct_bf, label="full_current_bwd")
+    timeit(jax.jit(full_old), ct_bf, label="full_old_bwd(f32+where)")
+
+    # new bwd: dtype-preserving permute + mask folded into weighted one-hot
+    from graph_neural_pde_tpu.ops.pallas.stripe import _stripe_scatter_w_call
+    vmask_f = jnp.asarray(np.asarray(cplan.valid, np.float32))
+
+    def full_new(c):
+        return _stripe_scatter_w_call(cplan, vmask_f, c[src])
+
+    timeit(jax.jit(full_new), ct_bf, label="full_new_bwd(bf16+wscatter)")
 
 
 if __name__ == "__main__":

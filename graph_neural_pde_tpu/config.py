@@ -164,6 +164,16 @@ class Config:
     # OFF elsewhere (CPU exercises the kernels in interpret mode only where
     # tests opt in). Explicit True/False overrides either way.
     stripe_fused: Optional[bool] = None
+    # symmetric-backward engine variant: for to_undirected edge sets, each
+    # edge's x[col] cotangent can be computed at its REVERSE edge and
+    # scattered through the row plan (fused_rhs.make_fused_ax_sym) instead
+    # of permuting the per-edge cotangents into the column plan. Measured at
+    # arxiv scale (deg~16, N=169k): the permute costs ~32 ms (cold 0.7 GB
+    # edge table, ~12 ns/row) vs ~19 ms of hot node-table ct gathers + ~5 ms
+    # extra kernel — net SLOWER end-to-end there (69 vs 62 ms/bwd eval), so
+    # default OFF; on denser graphs (Computers deg~72: node tables ~100x
+    # smaller than the edge table) the reverse-edge form is the right trade.
+    sym_backward: bool = False
     # dtype of the per-edge payload (the x[col] gather + aggregation values):
     # bfloat16 halves the indexed-op traffic on the only random-access op in
     # the RHS (measured 13.5 -> 12.5 ms at 128 wide, larger wins when wider)

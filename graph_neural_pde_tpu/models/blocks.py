@@ -145,9 +145,15 @@ def build_stripe_engine(cfg: Config, g: Graph):
     col_s[slots] = np.asarray(g.col)[idx]
     w_s[slots] = np.asarray(g.weight)[idx]
     # dual column plan: backward dx[col] scatter rides a static permutation
-    # gather + the MXU stripe scatter instead of XLA's unsorted scatter-add
-    from graph_neural_pde_tpu.ops.pallas.stripe import attach_col_plan
+    # gather + the MXU stripe scatter instead of XLA's unsorted scatter-add;
+    # symmetric edge sets additionally unlock the reverse-edge backward
+    # (no permutation at all — see fused_rhs._bwd_sym_kernel)
+    import dataclasses as _dc
+    from graph_neural_pde_tpu.ops.pallas.stripe import (
+        attach_col_plan, edges_symmetric)
     plan = attach_col_plan(plan, col_s)
+    plan = _dc.replace(plan, symmetric=edges_symmetric(
+        row_s, col_s, plan.valid))
     g2 = Graph(row=jnp.asarray(row_s), col=jnp.asarray(col_s),
                weight=jnp.asarray(w_s), mask=jnp.asarray(plan.valid),
                num_nodes=plan.num_nodes, rows_sorted=True)

@@ -138,6 +138,27 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
         if score == "exp_kernel":
             score_params = (ap["output_var"].reshape(()),
                             ap["lengthscale"].reshape(()))
+        if cfg.sym_backward and stripe_plan.symmetric and not exact_softmax:
+            # symmetric edge set: the end-to-end op whose backward relocates
+            # each edge's x[col] cotangent to its reverse edge — no
+            # permutation gather, no column plan (fused_rhs.make_fused_ax_sym).
+            # Opt-in: see Config.sym_backward for the measured trade.
+            from graph_neural_pde_tpu.ops.pallas.fused_rhs import (
+                make_fused_ax_sym)
+            op = make_fused_ax_sym(stripe_plan, h, False, score, g.col,
+                                   jnp.bfloat16
+                                   if cfg.rhs_payload_dtype == "bfloat16"
+                                   else None)
+            gmax = jnp.zeros((), jnp.float32)
+            ax, den = op(ap["Q"]["w"], ap["Q"]["b"], ap["K"]["w"],
+                         ap["K"]["b"], x, gmax, score_params)
+            den_h = den[:, :h]
+            deg = jnp.asarray(stripe_plan.node_degree)
+            bad = jnp.any(((den_h <= 0.0) & (deg[:, None] > 0))
+                          | ~jnp.isfinite(den_h))
+            ax = jnp.where(bad, jnp.asarray(jnp.nan, ax.dtype), ax)
+            f = _alpha(cfg, fparams) * (ax - x)
+            return _source(cfg, fparams, f, aux)
         x_g = _col_gather(g, stripe_plan, x, pay_dt)
         # softmax is shift-invariant, so NO max pass is needed: exp runs
         # unshifted (exact while scores stay within f32's ±88 exp range).

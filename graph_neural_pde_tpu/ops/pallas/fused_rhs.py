@@ -867,6 +867,309 @@ def _fused_bwd_mega_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax,
     return dq, dxg, dkw, dkb, dgmax, dextra
 
 
+# ---------------------------------------------------------------------------
+# symmetric backward: the reverse-edge relocation
+# ---------------------------------------------------------------------------
+# For a symmetric edge multiset (to_undirected, reference data.py:90-94),
+# the x[col] cotangent satisfies  Σ_{e: col_e=n} C_e = Σ_{e: row_e=n} C_rev(e)
+# — each edge's column-side contribution can be computed AT ITS REVERSE EDGE
+# and scattered through the row plan's block-local one-hot. This removes the
+# training step's cold [capacity]-wide permutation gather (measured ~12
+# ns/row: the per-edge table has no row reuse) and the column-plan scatter.
+# The reverse edge's quantities are all reachable from row-plan operands:
+#   src_rev = q[col_e]  = x_g @ Q          (in-kernel MXU)
+#   k_rev   = k[row_e]  = one-hot @ (x_blk @ K)
+#   x_g_rev = x[row_e]  = one-hot @ x_blk
+#   dv_rev  = ct_num[col_e], dup_rev = ct_den[col_e]   (hot node-table
+#             gathers fed per chunk — the only new HBM traffic)
+
+
+def _bwd_sym_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref,
+                    qb_ref, kw_ref, kb_ref, sel_ref, gmax_ref, ctn_ref,
+                    ctd_ref, ctng_ref, ctdg_ref, *rest,
+                    chunk, block_n, d, att, heads, hp, d_k, square_plus,
+                    dtype, score="scaled_dot"):
+    if score == "exp_kernel":
+        var_ref, ls_ref = rest[:2]
+        rest = rest[2:]
+        sp_extra = (var_ref[0, 0], ls_ref[0, 0])
+    else:
+        sp_extra = None
+    if score == "exp_kernel":
+        dq_ref, dxr_ref, dkw_ref, dkb_ref, dgm_ref, dex_ref = rest
+    else:
+        dq_ref, dxr_ref, dkw_ref, dkb_ref, dgm_ref = rest
+        dex_ref = None
+    i = pl.program_id(0)
+    prev = cr_ref[jnp.maximum(i - 1, 0)]
+
+    @pl.when(i == 0)
+    def _():
+        dkw_ref[:] = jnp.zeros_like(dkw_ref)
+        dkb_ref[:] = jnp.zeros_like(dkb_ref)
+        dgm_ref[:] = jnp.zeros_like(dgm_ref)
+        if dex_ref is not None:
+            dex_ref[:] = jnp.zeros_like(dex_ref)
+
+    @pl.when((i == 0) | (cr_ref[i] != prev))
+    def _():
+        dq_ref[:] = jnp.zeros_like(dq_ref)
+        dxr_ref[:] = jnp.zeros_like(dxr_ref)
+
+    rowl = rowl_ref[:]
+    xe = xe_ref[:].astype(dtype)
+    xe_f = xe_ref[:].astype(jnp.float32)
+    xt_l = xt_ref[:].astype(dtype)
+    hmask = (jax.lax.broadcasted_iota(jnp.int32, (1, hp), 1) < heads)
+    vmask = hmask.astype(jnp.float32) * valid_ref[:][:, None]
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (block_n, chunk), 0)
+    pt = (rowl[None, :] == iota_n).astype(dtype)
+    dims0 = (((0,), (0,)), ((), ()))
+    gmax = gmax_ref[0, 0]
+
+    def selT_mm(a):
+        return jax.lax.dot_general(
+            a, sel_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def u_duds(sm):
+        if square_plus:
+            r = jnp.sqrt(sm * sm + 4.0)
+            return (sm + r) * 0.5 * vmask, (1.0 + sm / r) * 0.5 * vmask
+        u = jnp.exp(sm)
+        return u * vmask, u * vmask
+
+    # ---- FORWARD edges: dq / dkw / dkb / dgmax (as in _bwd_kernel) -------
+    q_blk = (jnp.dot(xt_l, qw_ref[:].astype(dtype),
+                     preferred_element_type=jnp.float32)
+             + qb_ref[:]).astype(dtype)
+    src = jax.lax.dot_general(pt, q_blk, dims0,
+                              preferred_element_type=jnp.float32)
+    k_e = jnp.dot(xe, kw_ref[:].astype(dtype),
+                  preferred_element_type=jnp.float32) + kb_ref[:]
+    s, saux = _kernel_scores(src, k_e, sel_ref[:], d_k, score, sp_extra,
+                             dtype)
+    u, duds = u_duds(s - gmax)
+    dup = jax.lax.dot_general(pt, ctd_ref[:].astype(dtype), dims0,
+                              preferred_element_type=jnp.float32)
+    du_cols = []
+    for h in range(heads):
+        dv_h = jax.lax.dot_general(
+            pt, ctn_ref[:, h * d:(h + 1) * d].astype(dtype), dims0,
+            preferred_element_type=jnp.float32)
+        du_cols.append(jnp.sum(dv_h * xe_f, axis=1, keepdims=True))
+    if hp > heads:
+        du_cols.append(jnp.zeros((chunk, hp - heads), jnp.float32))
+    ds = (jnp.concatenate(du_cols, axis=1) + dup) * duds
+    dsrc_f, dke, dvar, dls = _kernel_scores_bwd(
+        ds, src, k_e, sel_ref[:], selT_mm, d_k, score, sp_extra, saux)
+    dq_ref[:] += jnp.dot(pt, dsrc_f.astype(dtype),
+                         preferred_element_type=jnp.float32)
+    dke_l = dke.astype(dtype)
+    dkw_ref[:] += jax.lax.dot_general(xe, dke_l, dims0,
+                                      preferred_element_type=jnp.float32)
+    dkb_ref[:] += jnp.broadcast_to(jnp.sum(dke, axis=0, keepdims=True),
+                                   dkb_ref.shape)
+    dgm_ref[:] += jnp.broadcast_to(jnp.sum(ds, axis=0, keepdims=True),
+                                   dgm_ref.shape)
+    if dex_ref is not None:
+        cid = jax.lax.broadcasted_iota(jnp.int32, dex_ref.shape, 1)
+        dex_ref[:] += jnp.where(cid == 0, dvar,
+                                jnp.where(cid == 1, dls, 0.0))
+
+    # ---- REVERSE edges: relocate the x[col] cotangent to row_e -----------
+    src_rev = (jnp.dot(xe, qw_ref[:].astype(dtype),
+                       preferred_element_type=jnp.float32)
+               + qb_ref[:])                                  # q[col_e]
+    k_blk = (jnp.dot(xt_l, kw_ref[:].astype(dtype),
+                     preferred_element_type=jnp.float32)
+             + kb_ref[:]).astype(dtype)
+    k_rev = jax.lax.dot_general(pt, k_blk, dims0,
+                                preferred_element_type=jnp.float32)
+    xe_rev = jax.lax.dot_general(pt, xt_l, dims0,
+                                 preferred_element_type=jnp.float32)
+    s_r, saux_r = _kernel_scores(src_rev, k_rev, sel_ref[:], d_k, score,
+                                 sp_extra, dtype)
+    u_r, duds_r = u_duds(s_r - gmax)
+    dur_cols = []
+    dxr_acc = None
+    for h in range(heads):
+        dv_h = ctng_ref[:, h * d:(h + 1) * d].astype(jnp.float32)
+        dur_cols.append(jnp.sum(dv_h * xe_rev, axis=1, keepdims=True))
+        term = u_r[:, h][:, None] * dv_h
+        dxr_acc = term if dxr_acc is None else dxr_acc + term
+    if hp > heads:
+        dur_cols.append(jnp.zeros((chunk, hp - heads), jnp.float32))
+    ds_r = (jnp.concatenate(dur_cols, axis=1)
+            + ctdg_ref[:].astype(jnp.float32)) * duds_r
+    _dsrc_r, dke_r, _dv_r, _dl_r = _kernel_scores_bwd(
+        ds_r, src_rev, k_rev, sel_ref[:], selT_mm, d_k, score, sp_extra,
+        saux_r)
+    c_rev = dxr_acc + jax.lax.dot_general(
+        dke_r.astype(dtype), kw_ref[:].astype(dtype),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    dxr_ref[:] += jnp.dot(pt, c_rev.astype(dtype),
+                          preferred_element_type=jnp.float32)
+
+
+def _fused_bwd_mega_sym_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g,
+                             gmax, ct_num, ct_den, ctn_g, ctd_g, *,
+                             heads: int, square_plus: bool,
+                             dtype=jnp.bfloat16,
+                             interpret: bool | None = None,
+                             score: str = "scaled_dot", score_params=()):
+    """(dq [N, ATT], dxrow [N, D], dkw, dkb, dgmax, dextra) — the symmetric
+    backward. ctn_g/ctd_g: ct_num[col]/ct_den[col] per plan slot (the
+    reverse edges' cotangent rows; hot node-table gathers)."""
+    cap, d = x_g.shape
+    att = qw.shape[1]
+    assert cap == plan.capacity and ct_num.shape == (plan.num_nodes, heads * d)
+    hp = max(8, heads)
+    assert ct_den.shape == (plan.num_nodes, hp)
+    assert ctn_g.shape == (cap, heads * d) and ctd_g.shape == (cap, hp)
+    d_k = att // heads
+    chunk, block_n, nc = plan.chunk, plan.block_n, plan.n_chunks
+    if interpret is None:
+        interpret = not _on_tpu()
+    sel = jnp.asarray(_head_selector(att, heads, hp))
+    valid = jnp.asarray(plan.valid, jnp.float32)
+    gmax2 = jnp.reshape(gmax.astype(jnp.float32), (1, 1))
+    kb2 = jnp.reshape(kb.astype(jnp.float32), (1, att))
+    qb2 = jnp.reshape(qb.astype(jnp.float32), (1, att))
+    in_specs = [
+        pl.BlockSpec((chunk,), lambda i, cr: (i,)),          # rowl
+        pl.BlockSpec((chunk,), lambda i, cr: (i,)),          # valid
+        pl.BlockSpec((chunk, d), lambda i, cr: (i, 0)),      # x_e
+        pl.BlockSpec((block_n, d), lambda i, cr: (cr[i], 0)),  # x rows
+        pl.BlockSpec((d, att), lambda i, cr: (0, 0)),        # Q_w
+        pl.BlockSpec((1, att), lambda i, cr: (0, 0)),        # Q_b
+        pl.BlockSpec((d, att), lambda i, cr: (0, 0)),        # K_w
+        pl.BlockSpec((1, att), lambda i, cr: (0, 0)),        # K_b
+        pl.BlockSpec((att, hp), lambda i, cr: (0, 0)),       # selector
+        pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
+                     memory_space=pltpu.SMEM),               # gmax
+        pl.BlockSpec((block_n, heads * d), lambda i, cr: (cr[i], 0)),  # ct_num
+        pl.BlockSpec((block_n, hp), lambda i, cr: (cr[i], 0)),         # ct_den
+        pl.BlockSpec((chunk, heads * d), lambda i, cr: (i, 0)),        # ctn_g
+        pl.BlockSpec((chunk, hp), lambda i, cr: (i, 0)),               # ctd_g
+    ]
+    args = [jnp.asarray(plan.chunk_rows), jnp.asarray(plan.row_local),
+            valid, x_g, x_n, qw, qb2, kw, kb2, sel, gmax2,
+            ct_num, ct_den, ctn_g, ctd_g]
+    if score == "exp_kernel":
+        var, ls = score_params
+        for v in (var, ls):
+            in_specs.append(pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
+                                         memory_space=pltpu.SMEM))
+            args.append(jnp.reshape(v.astype(jnp.float32), (1, 1)))
+    out_specs = [
+        pl.BlockSpec((block_n, att), lambda i, cr: (cr[i], 0)),  # dq
+        pl.BlockSpec((block_n, d), lambda i, cr: (cr[i], 0)),    # dxrow
+        pl.BlockSpec((d, att), lambda i, cr: (0, 0)),            # dkw
+        pl.BlockSpec((8, att), lambda i, cr: (0, 0)),            # dkb
+        pl.BlockSpec((8, hp), lambda i, cr: (0, 0)),             # dgm
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((plan.num_nodes, att), jnp.float32),
+        jax.ShapeDtypeStruct((plan.num_nodes, d), jnp.float32),
+        jax.ShapeDtypeStruct((d, att), jnp.float32),
+        jax.ShapeDtypeStruct((8, att), jnp.float32),
+        jax.ShapeDtypeStruct((8, hp), jnp.float32),
+    ]
+    if score == "exp_kernel":
+        out_specs.append(pl.BlockSpec((8, 8), lambda i, cr: (0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((8, 8), jnp.float32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+    )
+    kernel = functools.partial(
+        _bwd_sym_kernel, chunk=chunk, block_n=block_n, d=d, att=att,
+        heads=heads, hp=hp, d_k=d_k, square_plus=square_plus, dtype=dtype,
+        score=score)
+    flops = 4 * nc * chunk * block_n * (att + 2 * heads * d + hp + att)
+    outs = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=tuple(out_shape),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=nc * chunk * d * 8,
+            transcendentals=2 * nc * chunk * hp),
+        interpret=interpret,
+    )(*args)
+    dq, dxrow, dkw, dkb8, dgm8 = outs[:5]
+    dkb = dkb8[0]
+    dgmax = -jnp.sum(dgm8[0, :heads])
+    dextra = ()
+    if score == "exp_kernel":
+        dex = outs[5]
+        var, ls = score_params
+        dextra = (dex[0, 0].astype(var.dtype).reshape(var.shape),
+                  dex[0, 1].astype(ls.dtype).reshape(ls.shape))
+    return dq, dxrow, dkw, dkb, dgmax, dextra
+
+
+def make_fused_ax_sym(plan: StripePlan, heads: int, square_plus: bool,
+                      score: str, col: jax.Array, pay_dt):
+    """End-to-end fused RHS aggregate over x for SYMMETRIC edge sets.
+
+    op(qw, qb, kw, kb, x, gmax, score_params) -> (ax, den); the x[col]
+    gather lives inside the op, and the backward returns x's TOTAL gradient
+    directly (reverse-edge relocation — no permutation, no column plan).
+    Factory pattern: closure constants stay numpy/traced-safe
+    (cf. make_col_gather).
+    """
+
+    def _gather(x):
+        xd = x if pay_dt is None else x.astype(pay_dt)
+        return xd[col]
+
+    @jax.custom_vjp
+    def op(qw, qb, kw, kb, x, gmax, score_params=()):
+        x_g = _gather(x)
+        return _fused_ax_call(plan, qw, qb, kw, kb, x, x_g, gmax,
+                              heads=heads, square_plus=square_plus,
+                              score=score, score_params=score_params)
+
+    def fwd(qw, qb, kw, kb, x, gmax, score_params=()):
+        x_g = _gather(x)
+        ax, den, num = _fused_ax_call(plan, qw, qb, kw, kb, x, x_g, gmax,
+                                      heads=heads, square_plus=square_plus,
+                                      want_num=True, score=score,
+                                      score_params=score_params)
+        return (ax, den), (qw, qb, kw, kb, x, x_g, gmax, num, den,
+                           score_params)
+
+    def bwd(res, cts):
+        qw, qb, kw, kb, x, x_g, gmax, num, den, score_params = res
+        ct_ax, ct_den_in = cts
+        d = x_g.shape[1]
+        recip = 1.0 / (den[:, :heads] + 1e-16)
+        ct_num = jnp.concatenate(
+            [ct_ax * (recip[:, h:h + 1] / heads) for h in range(heads)],
+            axis=1)
+        upd = [-(jnp.sum(ct_ax * num[:, h * d:(h + 1) * d]
+                         .astype(jnp.float32), axis=1)
+                 * recip[:, h] ** 2) / heads for h in range(heads)]
+        ct_den = ct_den_in.at[:, :heads].add(jnp.stack(upd, axis=1))
+        # the reverse edges' cotangent rows (hot node-table gathers)
+        ctn_g = ct_num.astype(jnp.bfloat16)[col]
+        ctd_g = ct_den.astype(jnp.bfloat16)[col]
+        dq, dxrow, dkw, dkb, dgmax, dextra = _fused_bwd_mega_sym_call(
+            plan, qw, qb, kw, kb, x, x_g, gmax, ct_num, ct_den, ctn_g,
+            ctd_g, heads=heads, square_plus=square_plus, score=score,
+            score_params=score_params)
+        xn_f = x.astype(jnp.float32)
+        dqw = xn_f.T @ dq
+        dqb = jnp.sum(dq, axis=0)
+        dx = (dxrow + dq @ qw.T).astype(x.dtype)
+        return (dqw, dqb, dkw, dkb, dx, dgmax, dextra)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 def _scores_u(plan, q, kw, kb, x_g, gmax, heads, square_plus, shifts=None):
     """Composition replica of the in-kernel math (for the backward pass).
 

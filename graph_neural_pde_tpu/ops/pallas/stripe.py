@@ -55,7 +55,7 @@ def _on_tpu() -> bool:
 @partial(jax.tree_util.register_dataclass,
          data_fields=("row_local", "valid", "chunk_rows", "slot_of_edge",
                       "node_degree", "col_plan", "col_src_slot"),
-         meta_fields=("block_n", "chunk", "num_nodes"))
+         meta_fields=("block_n", "chunk", "num_nodes", "symmetric"))
 @dataclass(frozen=True)
 class StripePlan:
     """Edges sorted by row, chunked without crossing node-block boundaries.
@@ -87,6 +87,12 @@ class StripePlan:
     num_nodes: int
     col_plan: "StripePlan | None" = None
     col_src_slot: "np.ndarray | None" = None
+    # True when the valid edge multiset equals its transpose (to_undirected
+    # graphs): enables the symmetric backward, which relocates each edge's
+    # x[col] cotangent to its reverse edge's row and eliminates the cold
+    # [capacity]-sized permutation gather (measured ~12 ns/row — no row
+    # reuse) plus the column-plan scatter from the training step
+    symmetric: bool = False
 
     @property
     def n_chunks(self) -> int:
@@ -186,6 +192,23 @@ def build_stripe_plan(row, mask=None, *, num_nodes: int, block_n: int = 1024,
                       block_n=block_n, chunk=chunk, num_nodes=n_pad)
 
 
+def edges_symmetric(row, col, mask=None) -> bool:
+    """True iff the valid edge MULTISET equals its transpose — the
+    to_undirected invariant (reference data.py:90-94) the symmetric
+    backward relies on."""
+    row = np.asarray(row, np.int64)
+    col = np.asarray(col, np.int64)
+    if mask is not None:
+        m = np.asarray(mask, bool)
+        row, col = row[m], col[m]
+    if row.size == 0:
+        return True
+    base = int(max(row.max(), col.max())) + 1
+    fwd = np.sort(row * base + col)
+    rev = np.sort(col * base + row)
+    return bool(np.array_equal(fwd, rev))
+
+
 def attach_col_plan(plan: StripePlan, col) -> StripePlan:
     """Build the dual COLUMN plan: the row plan's edges re-sorted by column,
     plus the slot map col-plan-slot -> row-plan-slot.
@@ -226,7 +249,7 @@ def make_col_gather(plan: StripePlan, col: jax.Array, out_dtype=None):
     # (every RHS eval), and a traced op here (e.g. a [:, None] reshape)
     # would capture a stale forward-trace tracer in the bwd closure
     src_np = np.asarray(plan.col_src_slot)
-    vmask_np = np.asarray(cplan.valid)[:, None]
+    vmask_np = np.asarray(cplan.valid, np.float32)
 
     def _impl(x):
         xd = x if out_dtype is None else x.astype(out_dtype)
@@ -240,9 +263,12 @@ def make_col_gather(plan: StripePlan, col: jax.Array, out_dtype=None):
         return _impl(x), jnp.zeros((0,), x.dtype)
 
     def bwd(dt, ct):
-        ct_c = jnp.where(jnp.asarray(vmask_np),
-                         ct.astype(jnp.float32)[jnp.asarray(src_np)], 0.0)
-        dx = _stripe_scatter_call(cplan, ct_c)
+        # permute to col-plan slot order (static indices, issue-rate bound)
+        # in the cotangent's own dtype — no f32 materialisation — and fold
+        # the padding mask into the weighted one-hot (invalid slots carry
+        # w=0, so their garbage values never contribute)
+        ct_c = ct[jnp.asarray(src_np)]
+        dx = _stripe_scatter_w_call(cplan, jnp.asarray(vmask_np), ct_c)
         return (dx.astype(dt.dtype),)
 
     cg.defvjp(fwd, bwd)

@@ -152,6 +152,75 @@ class TestMegaBackward:
             scale = np.abs(b).max() + 1e-6
             assert np.abs(a - b).max() / scale < 5e-2
 
+    def test_sbm_plan_is_symmetric_and_directed_is_not(self, rng):
+        """Engine-level symmetry detection: SBM stand-ins (to_undirected)
+        enable the reverse-edge backward; directed graphs keep the
+        column-plan path."""
+        from graph_neural_pde_tpu.config import Config
+        from graph_neural_pde_tpu.data.synthetic import make_sbm_dataset
+        from graph_neural_pde_tpu.models.blocks import (
+            build_stripe_engine, prepare_graph)
+        from graph_neural_pde_tpu.ops.graph import make_graph
+        cfg = Config(block="constant", function="transformer",
+                     stripe_fused=True, stripe_block_n=8, stripe_chunk=16,
+                     stripe_chunk_auto=False, heads=2, attention_dim=8,
+                     hidden_dim=8)
+        ds = make_sbm_dataset(num_nodes=40, num_classes=3, num_features=8,
+                              seed=0)
+        _, plan_sym = build_stripe_engine(cfg, prepare_graph(cfg, ds.graph))
+        assert plan_sym.symmetric
+        g_dir = make_graph(rng.integers(0, 40, 200).astype(np.int32),
+                           rng.integers(0, 40, 200).astype(np.int32), None,
+                           num_nodes=40)
+        _, plan_dir = build_stripe_engine(
+            cfg.replace(self_loop_weight=0.0), prepare_graph(
+                cfg.replace(self_loop_weight=0.0), g_dir))
+        assert not plan_dir.symmetric
+
+    @pytest.mark.parametrize("score", ["scaled_dot", "exp_kernel"])
+    def test_rhs_gradient_directed_colplan_path(self, rng, score):
+        """Directed (asymmetric) graphs keep the column-plan backward; its
+        end-to-end gradients must still match the XLA composition."""
+        from graph_neural_pde_tpu.config import Config
+        from graph_neural_pde_tpu.models.blocks import (
+            build_stripe_engine, init_block, prepare_graph)
+        from graph_neural_pde_tpu.models.functions import FuncAux, make_rhs
+        from graph_neural_pde_tpu.ops.graph import make_graph
+
+        cfg = Config(block="constant", function="transformer",
+                     attention_type=score, heads=2, attention_dim=8,
+                     hidden_dim=8, add_source=True, stripe_fused=True,
+                     stripe_block_n=8, stripe_chunk=16,
+                     stripe_chunk_auto=False, self_loop_weight=0.0)
+        g0 = make_graph(rng.integers(0, 40, 200).astype(np.int32),
+                        rng.integers(0, 40, 200).astype(np.int32), None,
+                        num_nodes=40)
+        g = prepare_graph(cfg, g0)
+        g2, plan = build_stripe_engine(cfg, g)
+        assert plan is not None and not plan.symmetric
+        params = init_block(jax.random.PRNGKey(0), cfg, 8)["func"]
+        params = jax.tree_util.tree_map(
+            lambda p: p + 0.1 * jax.random.normal(
+                jax.random.PRNGKey(1), p.shape), params)
+        x = jnp.asarray(rng.normal(size=(g2.num_nodes, 8)), jnp.float32)
+        aux = FuncAux(attention=None, x0=x, edge_weight=g2.weight)
+        rhs_fast = make_rhs(cfg, g2, stripe_plan=plan)
+        rhs_ref = make_rhs(cfg.replace(stripe_fused=False), g2)
+
+        def loss(rhs):
+            def f(p, xx):
+                out = rhs(p, aux, 0.0, xx)
+                return jnp.sum(out * jnp.cos(jnp.arange(out.size)
+                                             .reshape(out.shape) * 0.1))
+            return f
+
+        gf = jax.grad(loss(rhs_fast), argnums=(0, 1))(params, x)
+        gr = jax.grad(loss(rhs_ref), argnums=(0, 1))(params, x)
+        flat_f, _ = jax.flatten_util.ravel_pytree(gf)
+        flat_r, _ = jax.flatten_util.ravel_pytree(gr)
+        scale = float(jnp.abs(flat_r).max()) + 1e-6
+        assert float(jnp.abs(flat_f - flat_r).max()) / scale < 5e-2
+
     @pytest.mark.parametrize("score", ["scaled_dot", "cosine_sim",
                                        "pearson", "exp_kernel"])
     def test_rhs_forward_matches_xla_composition(self, rng, score):
@@ -183,6 +252,49 @@ class TestMegaBackward:
             params, aux, 0.0, x)
         scale = float(jnp.abs(out_r).max()) + 1e-6
         assert float(jnp.abs(out_f - out_r).max()) / scale < 5e-2
+
+    @pytest.mark.parametrize("score", ["scaled_dot", "exp_kernel"])
+    def test_rhs_gradient_sym_backward(self, rng, score):
+        """Opt-in symmetric backward (reverse-edge relocation,
+        Config.sym_backward) end-to-end vs the XLA composition."""
+        from graph_neural_pde_tpu.config import Config
+        from graph_neural_pde_tpu.data.synthetic import make_sbm_dataset
+        from graph_neural_pde_tpu.models.blocks import (
+            build_stripe_engine, init_block, prepare_graph)
+        from graph_neural_pde_tpu.models.functions import FuncAux, make_rhs
+
+        ds = make_sbm_dataset(num_nodes=40, num_classes=3, num_features=8,
+                              seed=4)
+        cfg = Config(block="constant", function="transformer",
+                     attention_type=score, heads=2, attention_dim=8,
+                     hidden_dim=8, add_source=True, stripe_fused=True,
+                     stripe_block_n=8, stripe_chunk=16,
+                     stripe_chunk_auto=False, sym_backward=True)
+        g = prepare_graph(cfg, ds.graph)
+        g2, plan = build_stripe_engine(cfg, g)
+        assert plan is not None and plan.symmetric
+        params = init_block(jax.random.PRNGKey(0), cfg, 8)["func"]
+        params = jax.tree_util.tree_map(
+            lambda p: p + 0.1 * jax.random.normal(
+                jax.random.PRNGKey(1), p.shape), params)
+        x = jnp.asarray(rng.normal(size=(g2.num_nodes, 8)), jnp.float32)
+        aux = FuncAux(attention=None, x0=x, edge_weight=g2.weight)
+        rhs_fast = make_rhs(cfg, g2, stripe_plan=plan)
+        rhs_ref = make_rhs(cfg.replace(stripe_fused=False), g2)
+
+        def loss(rhs):
+            def f(p, xx):
+                out = rhs(p, aux, 0.0, xx)
+                return jnp.sum(out * jnp.cos(jnp.arange(out.size)
+                                             .reshape(out.shape) * 0.1))
+            return f
+
+        gf = jax.grad(loss(rhs_fast), argnums=(0, 1))(params, x)
+        gr = jax.grad(loss(rhs_ref), argnums=(0, 1))(params, x)
+        flat_f, _ = jax.flatten_util.ravel_pytree(gf)
+        flat_r, _ = jax.flatten_util.ravel_pytree(gr)
+        scale = float(jnp.abs(flat_r).max()) + 1e-6
+        assert float(jnp.abs(flat_f - flat_r).max()) / scale < 5e-2
 
     @pytest.mark.parametrize("score", ["scaled_dot", "cosine_sim",
                                        "pearson", "exp_kernel"])
