@@ -159,6 +159,27 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
             ax = jnp.where(bad, jnp.asarray(jnp.nan, ax.dtype), ax)
             f = _alpha(cfg, fparams) * (ax - x)
             return _source(cfg, fparams, f, aux)
+        if stripe_plan.col_plan is not None and not exact_softmax:
+            # col-plan backward (default): dx recomputed on the column side
+            # from ONE hot gather of a packed node table — the per-edge
+            # cotangent never exists in HBM (no 33.8 ms cold permutation;
+            # see fused_rhs.make_fused_ax_colplan).
+            from graph_neural_pde_tpu.ops.pallas.fused_rhs import (
+                make_fused_ax_colplan)
+            op = make_fused_ax_colplan(stripe_plan, h, False, score, g.col,
+                                       jnp.bfloat16
+                                       if cfg.rhs_payload_dtype == "bfloat16"
+                                       else None)
+            gmax = jnp.zeros((), jnp.float32)
+            ax, den = op(ap["Q"]["w"], ap["Q"]["b"], ap["K"]["w"],
+                         ap["K"]["b"], x, gmax, score_params)
+            den_h = den[:, :h]
+            deg = jnp.asarray(stripe_plan.node_degree)
+            bad = jnp.any(((den_h <= 0.0) & (deg[:, None] > 0))
+                          | ~jnp.isfinite(den_h))
+            ax = jnp.where(bad, jnp.asarray(jnp.nan, ax.dtype), ax)
+            f = _alpha(cfg, fparams) * (ax - x)
+            return _source(cfg, fparams, f, aux)
         x_g = _col_gather(g, stripe_plan, x, pay_dt)
         # softmax is shift-invariant, so NO max pass is needed: exp runs
         # unshifted (exact while scores stay within f32's ±88 exp range).

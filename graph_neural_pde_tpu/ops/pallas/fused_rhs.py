@@ -655,7 +655,7 @@ def fused_rowmax(plan: StripePlan, q, kw, kb, *, heads: int, x_g,
 def _bwd_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref, qb_ref,
                 kw_ref, kb_ref, sel_ref, gmax_ref, ctn_ref, ctd_ref, *rest,
                 chunk, block_n, d, att, heads, hp, d_k, square_plus, dtype,
-                with_shift=False, score="scaled_dot"):
+                with_shift=False, score="scaled_dot", want_dxg=True):
     if score == "exp_kernel":
         var_ref, ls_ref = rest[:2]
         rest = rest[2:]
@@ -667,10 +667,17 @@ def _bwd_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref, qb_ref,
         rest = rest[heads:]
     else:
         shift_refs = None
-    if score == "exp_kernel":
-        dq_ref, dxg_ref, dkw_ref, dkb_ref, dgm_ref, dex_ref = rest
+    if want_dxg:
+        dq_ref, dxg_ref = rest[:2]
+        rest = rest[2:]
     else:
-        dq_ref, dxg_ref, dkw_ref, dkb_ref, dgm_ref = rest
+        dq_ref = rest[0]
+        dxg_ref = None
+        rest = rest[1:]
+    if score == "exp_kernel":
+        dkw_ref, dkb_ref, dgm_ref, dex_ref = rest
+    else:
+        dkw_ref, dkb_ref, dgm_ref = rest
         dex_ref = None
     i = pl.program_id(0)
     prev = cr_ref[jnp.maximum(i - 1, 0)]
@@ -729,8 +736,9 @@ def _bwd_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref, qb_ref,
             pt, ctn_ref[:, h * d:(h + 1) * d].astype(dtype), dims0,
             preferred_element_type=jnp.float32)                # [chunk, D]
         du_cols.append(jnp.sum(dv_h * xe_f, axis=1, keepdims=True))
-        term = u[:, h][:, None] * dv_h
-        dxg_acc = term if dxg_acc is None else dxg_acc + term
+        if want_dxg:
+            term = u[:, h][:, None] * dv_h
+            dxg_acc = term if dxg_acc is None else dxg_acc + term
     if hp > heads:
         du_cols.append(jnp.zeros((chunk, hp - heads), jnp.float32))
     du = jnp.concatenate(du_cols, axis=1) + dup                # [chunk, hp]
@@ -760,18 +768,24 @@ def _bwd_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref, qb_ref,
         cid = jax.lax.broadcasted_iota(jnp.int32, dex_ref.shape, 1)
         dex_ref[:] += jnp.where(cid == 0, dvar,
                                 jnp.where(cid == 1, dls, 0.0))
-    dxg_ref[:] = dxg_acc + jax.lax.dot_general(
-        dke_l, kw_ref[:].astype(dtype), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    if dxg_ref is not None:
+        dxg_ref[:] = dxg_acc + jax.lax.dot_general(
+            dke_l, kw_ref[:].astype(dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
 
 def _fused_bwd_mega_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax,
                          ct_num, ct_den, *, heads: int, square_plus: bool,
                          dtype=jnp.bfloat16, interpret: bool | None = None,
                          shifts=None, score: str = "scaled_dot",
-                         score_params=()):
+                         score_params=(), want_dxg: bool = True):
     """(dq [N, ATT], dxg [cap, D], dkw [D, ATT], dkb [ATT], dgmax scalar,
-    dextra) — dextra = (dvar, dls) for exp_kernel, else ()."""
+    dextra) — dextra = (dvar, dls) for exp_kernel, else ().
+
+    want_dxg=False skips the [cap, D] per-edge dxg output entirely (its
+    HBM write and the in-kernel accumulation) — the col-plan backward
+    (make_fused_ax_colplan) recomputes dx on the column side instead, so
+    the per-edge cotangent never exists in HBM; dxg is returned as None."""
     cap, d = x_g.shape
     att = qw.shape[1]
     assert cap == plan.capacity and ct_num.shape == (plan.num_nodes, heads * d)
@@ -820,14 +834,19 @@ def _fused_bwd_mega_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax,
             args.append(sh.astype(jnp.float32))
     out_specs = [
         pl.BlockSpec((block_n, att), lambda i, cr: (cr[i], 0)),  # dq
-        pl.BlockSpec((chunk, d), lambda i, cr: (i, 0)),          # dxg
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((plan.num_nodes, att), jnp.float32),
+    ]
+    if want_dxg:
+        out_specs.append(pl.BlockSpec((chunk, d), lambda i, cr: (i, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((cap, d), jnp.float32))
+    out_specs += [
         pl.BlockSpec((d, att), lambda i, cr: (0, 0)),            # dkw
         pl.BlockSpec((8, att), lambda i, cr: (0, 0)),            # dkb
         pl.BlockSpec((8, hp), lambda i, cr: (0, 0)),             # dgm
     ]
-    out_shape = [
-        jax.ShapeDtypeStruct((plan.num_nodes, att), jnp.float32),
-        jax.ShapeDtypeStruct((cap, d), jnp.float32),
+    out_shape += [
         jax.ShapeDtypeStruct((d, att), jnp.float32),
         jax.ShapeDtypeStruct((8, att), jnp.float32),
         jax.ShapeDtypeStruct((8, hp), jnp.float32),
@@ -844,7 +863,7 @@ def _fused_bwd_mega_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax,
     kernel = functools.partial(
         _bwd_kernel, chunk=chunk, block_n=block_n, d=d, att=att, heads=heads,
         hp=hp, d_k=d_k, square_plus=square_plus, dtype=dtype,
-        with_shift=with_shift, score=score)
+        with_shift=with_shift, score=score, want_dxg=want_dxg)
     flops = 2 * nc * chunk * block_n * (att + 2 * heads * d + hp + att) \
         + 2 * nc * chunk * (d * att * 2 + att * hp * 2)
     outs = pl.pallas_call(
@@ -855,16 +874,270 @@ def _fused_bwd_mega_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax,
             transcendentals=nc * chunk * hp),
         interpret=interpret,
     )(*args)
-    dq, dxg, dkw, dkb8, dgm8 = outs[:5]
+    if want_dxg:
+        dq, dxg, dkw, dkb8, dgm8 = outs[:5]
+        rest_outs = outs[5:]
+    else:
+        dq, dkw, dkb8, dgm8 = outs[:4]
+        dxg = None
+        rest_outs = outs[4:]
     dkb = dkb8[0]
     dgmax = -jnp.sum(dgm8[0, :heads])
     dextra = ()
     if score == "exp_kernel":
-        dex = outs[5]
+        dex = rest_outs[0]
         var, ls = score_params
         dextra = (dex[0, 0].astype(var.dtype).reshape(var.shape),
                   dex[0, 1].astype(ls.dtype).reshape(ls.shape))
     return dq, dxg, dkw, dkb, dgmax, dextra
+
+
+# ---------------------------------------------------------------------------
+# col-plan backward: recompute dx on the column side
+# ---------------------------------------------------------------------------
+# The x[col] cotangent scatter is the training step's dominant cost when done
+# by relocation: the mega kernel emits dxg [cap, D] in ROW-plan slot order,
+# and permuting it into col-plan order is a random gather over the cold
+# per-edge table (measured 33.8 ms at bench scale, ~12.4 ns/row — no row
+# reuse), while the same gather from a NODE table runs at 2.15 ns/row (hot).
+# So: never materialise the per-edge cotangent at all. Pack every per-node
+# operand the backward needs into ONE wide node table
+#     W[n] = [ q[n] (ATT) | ct_ax[n] (D) | recip[n]/H (Hp) | ct_den[n] (Hp) ]
+# gather it once per edge in col-plan slot order by the edge's ROW id (hot,
+# ~6 ms), and recompute the per-edge cotangent inside a col-plan Mosaic
+# kernel where the destination (the edge's col) is block-local:
+#     k_e     = (onehot(col) @ x_blk) @ K + kb       (MXU, exact fwd replay)
+#     s, u    = scores(q_g, k_e), exp/squareplus     (same math as _bwd_kernel)
+#     ctn_h   = ct_ax_g ⊙ recip_g[:, h]              (VPU)
+#     ds      = (Σ_d ctn_h·x_col + ct_den_g) · du/ds
+#     dxg_e   = Σ_h u_h·ctn_h + dke(ds) @ Kᵀ
+#     dx_blk += onehot(col) @ dxg_e                  (MXU scatter)
+# One hot gather + one kernel pass replaces permute + scatter.
+
+
+def _bwd_dx_col_kernel(cr_ref, coll_ref, valid_ref, wg_ref, xt_ref, kw_ref,
+                       kb_ref, sel_ref, gmax_ref, *rest, chunk, block_n, d,
+                       att, heads, hp, d_k, square_plus, dtype,
+                       score="scaled_dot"):
+    if score == "exp_kernel":
+        var_ref, ls_ref = rest[:2]
+        rest = rest[2:]
+        sp_extra = (var_ref[0, 0], ls_ref[0, 0])
+    else:
+        sp_extra = None
+    dx_ref, = rest
+    i = pl.program_id(0)
+    prev = cr_ref[jnp.maximum(i - 1, 0)]
+
+    @pl.when((i == 0) | (cr_ref[i] != prev))
+    def _():
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+
+    coll = coll_ref[:]
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (block_n, chunk), 0)
+    pt = (coll[None, :] == iota_n).astype(dtype)
+    dims0 = (((0,), (0,)), ((), ()))
+    # x[col_e]: block-local on the column side
+    x_col = jax.lax.dot_general(pt, xt_ref[:].astype(dtype), dims0,
+                                preferred_element_type=jnp.float32)
+    x_col_l = x_col.astype(dtype)
+    k_e = jnp.dot(x_col_l, kw_ref[:].astype(dtype),
+                  preferred_element_type=jnp.float32) + kb_ref[:]
+    wg = wg_ref[:]
+    src = wg[:, :att].astype(jnp.float32)
+    s, saux = _kernel_scores(src, k_e, sel_ref[:], d_k, score, sp_extra,
+                             dtype)
+    sm = s - gmax_ref[0, 0]
+    if square_plus:
+        r = jnp.sqrt(sm * sm + 4.0)
+        u = (sm + r) * 0.5
+        duds = (1.0 + sm / r) * 0.5
+    else:
+        u = jnp.exp(sm)
+        duds = u
+    hmask = (jax.lax.broadcasted_iota(jnp.int32, (1, hp), 1) < heads)
+    vmask = hmask.astype(jnp.float32) * valid_ref[:][:, None]
+    u = u * vmask
+    duds = duds * vmask
+
+    ct_ax_g = wg[:, att:att + d].astype(jnp.float32)
+    recip_g = wg[:, att + d:att + d + hp].astype(jnp.float32)
+    ctd_g = wg[:, att + d + hp:att + d + 2 * hp].astype(jnp.float32)
+    du_cols = []
+    dxg_acc = None
+    for h in range(heads):
+        ctn_h = ct_ax_g * recip_g[:, h:h + 1]                  # [chunk, D]
+        du_cols.append(jnp.sum(ctn_h * x_col, axis=1, keepdims=True))
+        term = u[:, h][:, None] * ctn_h
+        dxg_acc = term if dxg_acc is None else dxg_acc + term
+    if hp > heads:
+        du_cols.append(jnp.zeros((chunk, hp - heads), jnp.float32))
+    ds = (jnp.concatenate(du_cols, axis=1) + ctd_g) * duds
+
+    def selT_mm(a):
+        return jax.lax.dot_general(
+            a, sel_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    _dsrc, dke, _dv, _dl = _kernel_scores_bwd(
+        ds, src, k_e, sel_ref[:], selT_mm, d_k, score, sp_extra, saux)
+    dxg_e = dxg_acc + jax.lax.dot_general(
+        dke.astype(dtype), kw_ref[:].astype(dtype),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    dx_ref[:] += jnp.dot(pt, dxg_e.astype(dtype),
+                         preferred_element_type=jnp.float32)
+
+
+def _bwd_dx_col_call(plan: StripePlan, w_g, x_n, kw, kb, gmax, *,
+                     heads: int, square_plus: bool, dtype=jnp.bfloat16,
+                     interpret: bool | None = None, score: str = "scaled_dot",
+                     score_params=()):
+    """dx [N, D] — x's aggregation gradient, computed per COL-plan chunk.
+
+    w_g: [cap, wpad] pre-gathered wide per-node rows (by each edge's row id,
+    in col-plan slot order; layout documented above)."""
+    cplan = plan.col_plan
+    n, d = x_n.shape
+    att = kw.shape[1]
+    hp = max(8, heads)
+    d_k = att // heads
+    chunk, block_n, nc = cplan.chunk, cplan.block_n, cplan.n_chunks
+    assert w_g.shape[0] == cplan.capacity
+    if interpret is None:
+        interpret = not _on_tpu()
+    sel = jnp.asarray(_head_selector(att, heads, hp))
+    valid = jnp.asarray(cplan.valid, jnp.float32)
+    gmax2 = jnp.reshape(gmax.astype(jnp.float32), (1, 1))
+    kb2 = jnp.reshape(kb.astype(jnp.float32), (1, att))
+    wpad = w_g.shape[1]
+    in_specs = [
+        pl.BlockSpec((chunk,), lambda i, cr: (i,)),            # col_local
+        pl.BlockSpec((chunk,), lambda i, cr: (i,)),            # valid
+        pl.BlockSpec((chunk, wpad), lambda i, cr: (i, 0)),     # W_g
+        pl.BlockSpec((block_n, d), lambda i, cr: (cr[i], 0)),  # x rows
+        pl.BlockSpec((d, att), lambda i, cr: (0, 0)),          # K_w
+        pl.BlockSpec((1, att), lambda i, cr: (0, 0)),          # K_b
+        pl.BlockSpec((att, hp), lambda i, cr: (0, 0)),         # selector
+        pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
+                     memory_space=pltpu.SMEM),                 # gmax
+    ]
+    args = [jnp.asarray(cplan.chunk_rows), jnp.asarray(cplan.row_local),
+            valid, w_g, x_n, kw, kb2, sel, gmax2]
+    if score == "exp_kernel":
+        var, ls = score_params
+        for v in (var, ls):
+            in_specs.append(pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
+                                         memory_space=pltpu.SMEM))
+            args.append(jnp.reshape(v.astype(jnp.float32), (1, 1)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec((block_n, d), lambda i, cr: (cr[i], 0)),),
+    )
+    kernel = functools.partial(
+        _bwd_dx_col_kernel, chunk=chunk, block_n=block_n, d=d, att=att,
+        heads=heads, hp=hp, d_k=d_k, square_plus=square_plus, dtype=dtype,
+        score=score)
+    flops = 2 * nc * chunk * (2 * block_n * d + d * att * 2 + att * hp * 2
+                              + heads * d * 3)
+    (dx,) = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((cplan.num_nodes, d), jnp.float32),),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=nc * chunk * (wpad + d) * 4,
+            transcendentals=nc * chunk * hp),
+        interpret=interpret,
+    )(*args)
+    return dx[:n]
+
+
+def make_fused_ax_colplan(plan: StripePlan, heads: int, square_plus: bool,
+                          score: str, col: jax.Array, pay_dt):
+    """End-to-end fused RHS aggregate over x with the COL-PLAN backward.
+
+    op(qw, qb, kw, kb, x, gmax, score_params) -> (ax, den). The x[col]
+    gather lives inside the op; the backward returns x's TOTAL gradient
+    with the per-edge cotangent never materialised in HBM: the row-plan
+    mega kernel (want_dxg=False) produces dq/dkw/dkb/dgmax, and dx comes
+    from _bwd_dx_col_call over one hot gather of the packed node table.
+    Works for ANY graph with a col plan (directed included) — unlike the
+    symmetric reverse-edge form. Factory pattern: closure constants stay
+    numpy/traced-safe (cf. make_col_gather).
+    """
+    cplan = plan.col_plan
+    # static: each col-plan slot's ROW id (the gather index into the packed
+    # node table). row id of a ROW-plan slot = chunk's node-block base +
+    # block-local row; col_src_slot maps col-plan slot -> row-plan slot.
+    chunk = plan.chunk
+    row_of_slot = (np.repeat(np.asarray(plan.chunk_rows), chunk)
+                   * plan.block_n + np.asarray(plan.row_local))
+    rowv_np = row_of_slot[np.asarray(plan.col_src_slot)]
+    rowv_np = np.where(np.asarray(cplan.valid), rowv_np, 0).astype(np.int32)
+
+    def _gather(x):
+        xd = x if pay_dt is None else x.astype(pay_dt)
+        return xd[col]
+
+    @jax.custom_vjp
+    def op(qw, qb, kw, kb, x, gmax, score_params=()):
+        x_g = _gather(x)
+        return _fused_ax_call(plan, qw, qb, kw, kb, x, x_g, gmax,
+                              heads=heads, square_plus=square_plus,
+                              score=score, score_params=score_params)
+
+    def fwd(qw, qb, kw, kb, x, gmax, score_params=()):
+        x_g = _gather(x)
+        ax, den, num = _fused_ax_call(plan, qw, qb, kw, kb, x, x_g, gmax,
+                                      heads=heads, square_plus=square_plus,
+                                      want_num=True, score=score,
+                                      score_params=score_params)
+        return (ax, den), (qw, qb, kw, kb, x, x_g, gmax, num, den,
+                           score_params)
+
+    def bwd(res, cts):
+        qw, qb, kw, kb, x, x_g, gmax, num, den, score_params = res
+        ct_ax, ct_den_in = cts
+        d = x_g.shape[1]
+        att = qw.shape[1]
+        hp = max(8, heads)
+        recip = 1.0 / (den[:, :heads] + 1e-16)
+        ct_num = jnp.concatenate(
+            [ct_ax * (recip[:, h:h + 1] / heads) for h in range(heads)],
+            axis=1)
+        upd = [-(jnp.sum(ct_ax * num[:, h * d:(h + 1) * d]
+                         .astype(jnp.float32), axis=1)
+                 * recip[:, h] ** 2) / heads for h in range(heads)]
+        ct_den = ct_den_in.at[:, :heads].add(jnp.stack(upd, axis=1))
+        dq, _, dkw, dkb, dgmax, dextra = _fused_bwd_mega_call(
+            plan, qw, qb, kw, kb, x, x_g, gmax, ct_num, ct_den,
+            heads=heads, square_plus=square_plus, score=score,
+            score_params=score_params, want_dxg=False)
+        # pack the node table and gather it once by row id (hot)
+        xn_f = x.astype(jnp.float32)
+        q = xn_f @ qw + qb                                    # [N, ATT]
+        rpad = jnp.zeros((q.shape[0], hp - heads), jnp.float32)
+        w_tab = jnp.concatenate(
+            [q, ct_ax.astype(jnp.float32),
+             jnp.concatenate([recip * (1.0 / heads), rpad], axis=1),
+             ct_den], axis=1)
+        wbase = att + d + 2 * hp
+        wpad = -(-wbase // 128) * 128
+        if wpad > wbase:
+            w_tab = jnp.concatenate(
+                [w_tab, jnp.zeros((q.shape[0], wpad - wbase), jnp.float32)],
+                axis=1)
+        w_g = w_tab.astype(jnp.bfloat16)[jnp.asarray(rowv_np)]
+        dx_col = _bwd_dx_col_call(plan, w_g, x, kw, kb, gmax, heads=heads,
+                                  square_plus=square_plus, score=score,
+                                  score_params=score_params)
+        dqw = xn_f.T @ dq
+        dqb = jnp.sum(dq, axis=0)
+        dx = (dx_col + dq @ qw.T).astype(x.dtype)
+        return (dqw, dqb, dkw, dkb, dx, dgmax, dextra)
+
+    op.defvjp(fwd, bwd)
+    return op
 
 
 # ---------------------------------------------------------------------------

@@ -128,7 +128,9 @@ class EpochLog:
 
 
 class Trainer:
-    """Owns the jitted steps; data tensors are passed in (donated) each call."""
+    """Owns the jitted steps; epoch-invariant data is baked into the
+    compiled train step as constants (see _train_step) while params/state/
+    opt_state/rng — and the graph, when rewiring passes one — stay traced."""
 
     def __init__(self, model: GNNModel):
         self.model = model
@@ -144,8 +146,38 @@ class Trainer:
             else TABLEAUS[model.cfg.method].num_stages
             if model.cfg.method in TABLEAUS else 1)
         _, self.reg_coeffs = active_regularizers(model.cfg)
-        self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
+        # epoch-invariant operands (x/pos/y/mask) are baked into the
+        # compiled step as CONSTANTS, not traced arguments — measured at
+        # ogbn-arxiv bench scale the identical remat train step runs
+        # 992 ms closed-over vs 2000 ms with x traced (probe8c: the
+        # penalty is the feature table alone; rng/state traced are free).
+        # Full-batch data never changes between epochs, so constants are
+        # semantically identical; the cache rebuilds when the caller swaps
+        # arrays (keyed by identity, strong refs pinned against id reuse).
+        # rng/params/state/opt_state stay traced; the graph remains a
+        # traced argument when passed (between-epoch rewiring swaps edge
+        # CONTENT at fixed shapes — no recompile).
+        self._step_cache = {}
+
+    def _train_step(self, params, state, opt_state, x, pos, y, train_mask,
+                    rng, graph=None):
+        key = (id(x), id(pos), id(y), id(train_mask))
+        entry = self._step_cache.get(key)
+        if entry is None:
+            def impl(params, state, opt_state, rng, graph=None):
+                return self._train_step_impl(params, state, opt_state, x,
+                                             pos, y, train_mask, rng,
+                                             graph=graph)
+
+            if len(self._step_cache) >= 4:      # bound executable count
+                self._step_cache.pop(next(iter(self._step_cache)))
+            entry = (jax.jit(impl), (x, pos, y, train_mask))
+            self._step_cache[key] = entry
+        fn = entry[0]
+        if graph is None:
+            return fn(params, state, opt_state, rng)
+        return fn(params, state, opt_state, rng, graph)
 
     # -- label diffusion (run_GNN.py:39-59) --------------------------------
     def _with_labels(self, x, y, label_mask):
