@@ -27,7 +27,12 @@ re-evaluated them per gathered row, 2.25x gather slowdown). Measured
 progression on one v5e at this scale: 13.6M (naive XLA) → 25.2M (round-1
 fused composition) → 42.4M (aligned column side) → 58.2M (bf16 payloads) →
 88M (one-pass kernel) → 247M (stage-input barriers) → 259M (scratch-resident
-numerators) edge·NFE/s. The measured floor is the gather's per-row issue
+numerators) edge·NFE/s. Round 3 adds the TRAINING metric
+(train_edge_updates_per_sec_nfe: one full optimizer step, both memory
+modes): 13-14M (round 2) → 21.6M (backward mega-kernel + col-plan dx
+scatter) → 40.4M (col-plan backward recompute kernel — the per-edge
+cotangent never exists in HBM — plus constant-folded epoch-invariant
+training data; 993 ms/step at 16 fwd NFE). The measured floor is the gather's per-row issue
 rate: 2.15 ns/row on v5e, independent of width (32-128), dtype (bf16/f32)
 and index locality (even fully sorted) — ~500M edge·NFE/s absolute
 single-chip bound at this scale with zero compute. The levers past it are
@@ -238,8 +243,61 @@ def verify_kernels_on_device():
     ds_ = np.abs(dxw).max() + 1e-9
     assert np.abs(np.asarray(dx) - dxw).max() / ds_ < 3e-2, "col-plan dx"
 
+    # ---- backward: the PRODUCTION col-plan gradient path, end to end ----
+    # make_fused_ax_colplan (the default training backward since round 3:
+    # row-plan mega kernel without dxg + the col-plan dx recompute kernel)
+    # vs jax.grad of a pure-XLA softmax-aggregate composition, both
+    # compiled on this chip.
+    from graph_neural_pde_tpu.ops.pallas.fused_rhs import make_fused_ax_colplan
+    op = make_fused_ax_colplan(plan_c, heads, False, "scaled_dot",
+                               jnp.asarray(col), jnp.bfloat16)
+    gmax0 = jnp.zeros((), jnp.float32)
+    probe = jnp.asarray(rng.normal(size=(plan.num_nodes, d)), jnp.float32)
+
+    def loss_op(qw_, qb_, kw_, kb_, x_):
+        ax, _ = op(qw_, qb_, kw_, kb_, x_, gmax0, ())
+        return jnp.sum(ax * probe)
+
+    rows_j = jnp.asarray(rows_of_slot)
+    col_j = jnp.asarray(col)
+    mask_j = jnp.asarray(m)
+
+    def loss_xla(qw_, qb_, kw_, kb_, x_):
+        q_ = x_.astype(jnp.float32) @ qw_ + qb_
+        src_ = q_[rows_j]
+        xg_ = x_.astype(jnp.bfloat16).astype(jnp.float32)[col_j]
+        ke_ = xg_ @ kw_ + kb_
+        s_ = jnp.sum((src_ * ke_).reshape(-1, heads, att // heads),
+                     axis=-1) / np.sqrt(att // heads)
+        uu_ = jnp.exp(s_) * mask_j[:, None]
+        ax_ = 0.0
+        for hh in range(heads):
+            nh = jnp.zeros((plan.num_nodes, d)).at[rows_j].add(
+                uu_[:, hh][:, None] * xg_)
+            dh = jnp.zeros((plan.num_nodes,)).at[rows_j].add(uu_[:, hh])
+            ax_ = ax_ + nh / (dh[:, None] + 1e-16)
+        return jnp.sum(ax_ / heads * probe)
+
+    g_op = jax.jit(jax.grad(loss_op, argnums=(0, 1, 2, 3, 4)))(
+        qw, qb, kw, kb, x_nodes)
+    g_xla = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4)))(
+        qw, qb, kw, kb, x_nodes)
+    # NOTE dkb/dqb are ~0 ANALYTICALLY here (src is row-constant, so their
+    # score perturbation is uniform within each row and the softmax
+    # Jacobian cancels it); a per-array relative test against that
+    # cancellation noise floor is ill-posed, so every gradient is scaled
+    # by the largest oracle gradient of its own kind (weights vs biases).
+    w_scale = max(float(np.abs(np.asarray(g)).max())
+                  for g in (g_xla[0], g_xla[2], g_xla[4])) + 1e-9
+    for name, a, b in zip(("dqw", "dqb", "dkw", "dkb", "dx"), g_op, g_xla):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        assert np.abs(a - b).max() / w_scale < 3e-2, (
+            f"colplan e2e {name}: {np.abs(a - b).max()} vs scale {w_scale}")
+
     print("# kernels verified on-device (stripe gather, dual scatter, "
-          "fused RHS fwd; mega backward, col-plan dx scatter)",
+          "fused RHS fwd; mega backward, col-plan dx scatter, "
+          "col-plan e2e gradient path)",
           file=sys.stderr)
 
 
