@@ -655,7 +655,8 @@ def fused_rowmax(plan: StripePlan, q, kw, kb, *, heads: int, x_g,
 def _bwd_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref, qb_ref,
                 kw_ref, kb_ref, sel_ref, gmax_ref, ctn_ref, ctd_ref, *rest,
                 chunk, block_n, d, att, heads, hp, d_k, square_plus, dtype,
-                with_shift=False, score="scaled_dot", want_dxg=True):
+                with_shift=False, score="scaled_dot", want_dxg=True,
+                separable=False):
     if score == "exp_kernel":
         var_ref, ls_ref = rest[:2]
         rest = rest[2:]
@@ -667,6 +668,11 @@ def _bwd_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref, qb_ref,
         rest = rest[heads:]
     else:
         shift_refs = None
+    if separable:
+        rcp_ref = rest[0]
+        rest = rest[1:]
+    else:
+        rcp_ref = None
     if want_dxg:
         dq_ref, dxg_ref = rest[:2]
         rest = rest[2:]
@@ -729,19 +735,35 @@ def _bwd_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref, qb_ref,
     # ---- cotangent gathers (the former stripe gather2, fused) -----------
     dup = jax.lax.dot_general(pt, ctd_ref[:].astype(dtype), dims0,
                               preferred_element_type=jnp.float32)
-    du_cols = []
-    dxg_acc = None
-    for h in range(heads):
-        dv_h = jax.lax.dot_general(
-            pt, ctn_ref[:, h * d:(h + 1) * d].astype(dtype), dims0,
-            preferred_element_type=jnp.float32)                # [chunk, D]
-        du_cols.append(jnp.sum(dv_h * xe_f, axis=1, keepdims=True))
-        if want_dxg:
-            term = u[:, h][:, None] * dv_h
-            dxg_acc = term if dxg_acc is None else dxg_acc + term
-    if hp > heads:
-        du_cols.append(jnp.zeros((chunk, hp - heads), jnp.float32))
-    du = jnp.concatenate(du_cols, axis=1) + dup                # [chunk, hp]
+    if separable:
+        # ctn_ref holds ct_ax [block_n, D] node rows and rcp_ref the
+        # per-head scalars recip/H [block_n, Hp] (pad cols zero): the
+        # per-head cotangent ctn_h = ct_ax ⊙ recip_h is separable, so
+        #   du_h    = recip_h · ⟨ct_ax, x_e⟩      (one row-dot)
+        #   dxg_acc = (Σ_h u_h·recip_h) ⊙ ct_ax   (one row-sum)
+        # replacing `heads` [block_n, chunk, D] gather matmuls with one
+        # wide + one thin and the [N, H·D] ct_num HBM operand entirely.
+        ct_ax_e = jax.lax.dot_general(pt, ctn_ref[:].astype(dtype), dims0,
+                                      preferred_element_type=jnp.float32)
+        rg = jax.lax.dot_general(pt, rcp_ref[:].astype(dtype), dims0,
+                                 preferred_element_type=jnp.float32)
+        du = rg * jnp.sum(ct_ax_e * xe_f, axis=1, keepdims=True) + dup
+        dxg_acc = (jnp.sum(u * rg, axis=1, keepdims=True) * ct_ax_e
+                   if want_dxg else None)
+    else:
+        du_cols = []
+        dxg_acc = None
+        for h in range(heads):
+            dv_h = jax.lax.dot_general(
+                pt, ctn_ref[:, h * d:(h + 1) * d].astype(dtype), dims0,
+                preferred_element_type=jnp.float32)            # [chunk, D]
+            du_cols.append(jnp.sum(dv_h * xe_f, axis=1, keepdims=True))
+            if want_dxg:
+                term = u[:, h][:, None] * dv_h
+                dxg_acc = term if dxg_acc is None else dxg_acc + term
+        if hp > heads:
+            du_cols.append(jnp.zeros((chunk, hp - heads), jnp.float32))
+        du = jnp.concatenate(du_cols, axis=1) + dup            # [chunk, hp]
     ds = du * duds                                             # masked via duds
 
     # ---- per-edge gradients ---------------------------------------------
@@ -778,17 +800,28 @@ def _fused_bwd_mega_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax,
                          ct_num, ct_den, *, heads: int, square_plus: bool,
                          dtype=jnp.bfloat16, interpret: bool | None = None,
                          shifts=None, score: str = "scaled_dot",
-                         score_params=(), want_dxg: bool = True):
+                         score_params=(), want_dxg: bool = True,
+                         recip_p=None):
     """(dq [N, ATT], dxg [cap, D], dkw [D, ATT], dkb [ATT], dgmax scalar,
     dextra) — dextra = (dvar, dls) for exp_kernel, else ().
 
     want_dxg=False skips the [cap, D] per-edge dxg output entirely (its
     HBM write and the in-kernel accumulation) — the col-plan backward
     (make_fused_ax_colplan) recomputes dx on the column side instead, so
-    the per-edge cotangent never exists in HBM; dxg is returned as None."""
+    the per-edge cotangent never exists in HBM; dxg is returned as None.
+
+    recip_p: optional [N, Hp] per-head scalars (recip·(1/H), pad cols
+    zero). When given, ``ct_num`` is the SHARED [N, D] head-average
+    cotangent ct_ax and the kernel uses the separable form (the per-head
+    cotangent ct_ax ⊙ recip_h never materialises — see _bwd_kernel)."""
     cap, d = x_g.shape
     att = qw.shape[1]
-    assert cap == plan.capacity and ct_num.shape == (plan.num_nodes, heads * d)
+    separable = recip_p is not None
+    if separable:
+        assert cap == plan.capacity and ct_num.shape == (plan.num_nodes, d)
+    else:
+        assert (cap == plan.capacity
+                and ct_num.shape == (plan.num_nodes, heads * d))
     hp = max(8, heads)
     assert ct_den.shape == (plan.num_nodes, hp)
     d_k = att // heads
@@ -815,7 +848,8 @@ def _fused_bwd_mega_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax,
         pl.BlockSpec((att, hp), lambda i, cr: (0, 0)),       # selector
         pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
                      memory_space=pltpu.SMEM),               # gmax
-        pl.BlockSpec((block_n, heads * d), lambda i, cr: (cr[i], 0)),  # ct_num
+        pl.BlockSpec((block_n, d if separable else heads * d),
+                     lambda i, cr: (cr[i], 0)),                # ct_num/ct_ax
         pl.BlockSpec((block_n, hp), lambda i, cr: (cr[i], 0)),         # ct_den
     ]
     args = [jnp.asarray(plan.chunk_rows), jnp.asarray(plan.row_local),
@@ -832,6 +866,11 @@ def _fused_bwd_mega_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax,
             assert sh.shape == (cap,)
             in_specs.append(pl.BlockSpec((chunk,), lambda i, cr: (i,)))
             args.append(sh.astype(jnp.float32))
+    if separable:
+        assert recip_p.shape == (plan.num_nodes, hp)
+        in_specs.append(pl.BlockSpec((block_n, hp),
+                                     lambda i, cr: (cr[i], 0)))  # recip_p
+        args.append(recip_p)
     out_specs = [
         pl.BlockSpec((block_n, att), lambda i, cr: (cr[i], 0)),  # dq
     ]
@@ -863,8 +902,10 @@ def _fused_bwd_mega_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax,
     kernel = functools.partial(
         _bwd_kernel, chunk=chunk, block_n=block_n, d=d, att=att, heads=heads,
         hp=hp, d_k=d_k, square_plus=square_plus, dtype=dtype,
-        with_shift=with_shift, score=score, want_dxg=want_dxg)
-    flops = 2 * nc * chunk * block_n * (att + 2 * heads * d + hp + att) \
+        with_shift=with_shift, score=score, want_dxg=want_dxg,
+        separable=separable)
+    gat_d = (d + hp) if separable else heads * d
+    flops = 2 * nc * chunk * block_n * (att + 2 * gat_d + hp + att) \
         + 2 * nc * chunk * (d * att * 2 + att * hp * 2)
     outs = pl.pallas_call(
         kernel, grid_spec=grid_spec,
@@ -963,16 +1004,14 @@ def _bwd_dx_col_kernel(cr_ref, coll_ref, valid_ref, wg_ref, xt_ref, kw_ref,
     ct_ax_g = wg[:, att:att + d].astype(jnp.float32)
     recip_g = wg[:, att + d:att + d + hp].astype(jnp.float32)
     ctd_g = wg[:, att + d + hp:att + d + 2 * hp].astype(jnp.float32)
-    du_cols = []
-    dxg_acc = None
-    for h in range(heads):
-        ctn_h = ct_ax_g * recip_g[:, h:h + 1]                  # [chunk, D]
-        du_cols.append(jnp.sum(ctn_h * x_col, axis=1, keepdims=True))
-        term = u[:, h][:, None] * ctn_h
-        dxg_acc = term if dxg_acc is None else dxg_acc + term
-    if hp > heads:
-        du_cols.append(jnp.zeros((chunk, hp - heads), jnp.float32))
-    ds = (jnp.concatenate(du_cols, axis=1) + ctd_g) * duds
+    # ctn_h = ct_ax ⊙ recip_h is SEPARABLE (per-head scalar × shared [D]
+    # row): both head reductions collapse to one row-dot / one row-sum —
+    #   du_h    = Σ_d ctn_h·x_col = recip_h · ⟨ct_ax, x_col⟩
+    #   dxg_acc = Σ_h u_h·ctn_h   = (Σ_h u_h·recip_h) ⊙ ct_ax
+    # (recip_g's pad columns are zero, so full-hp sums are exact).
+    dot = jnp.sum(ct_ax_g * x_col, axis=1, keepdims=True)      # [chunk, 1]
+    dxg_acc = jnp.sum(u * recip_g, axis=1, keepdims=True) * ct_ax_g
+    ds = (dot * recip_g + ctd_g) * duds
 
     def selT_mm(a):
         return jax.lax.dot_general(
@@ -1102,32 +1141,32 @@ def make_fused_ax_colplan(plan: StripePlan, heads: int, square_plus: bool,
         att = qw.shape[1]
         hp = max(8, heads)
         recip = 1.0 / (den[:, :heads] + 1e-16)
-        ct_num = jnp.concatenate(
-            [ct_ax * (recip[:, h:h + 1] / heads) for h in range(heads)],
-            axis=1)
         upd = [-(jnp.sum(ct_ax * num[:, h * d:(h + 1) * d]
                          .astype(jnp.float32), axis=1)
                  * recip[:, h] ** 2) / heads for h in range(heads)]
         ct_den = ct_den_in.at[:, :heads].add(jnp.stack(upd, axis=1))
+        rpad = jnp.zeros((ct_ax.shape[0], hp - heads), jnp.float32)
+        recip_p = jnp.concatenate([recip * (1.0 / heads), rpad], axis=1)
         dq, _, dkw, dkb, dgmax, dextra = _fused_bwd_mega_call(
-            plan, qw, qb, kw, kb, x, x_g, gmax, ct_num, ct_den,
+            plan, qw, qb, kw, kb, x, x_g, gmax, ct_ax, ct_den,
             heads=heads, square_plus=square_plus, score=score,
-            score_params=score_params, want_dxg=False)
+            score_params=score_params, want_dxg=False, recip_p=recip_p)
         # pack the node table and gather it once by row id (hot)
         xn_f = x.astype(jnp.float32)
         q = xn_f @ qw + qb                                    # [N, ATT]
-        rpad = jnp.zeros((q.shape[0], hp - heads), jnp.float32)
         w_tab = jnp.concatenate(
-            [q, ct_ax.astype(jnp.float32),
-             jnp.concatenate([recip * (1.0 / heads), rpad], axis=1),
-             ct_den], axis=1)
+            [q, ct_ax.astype(jnp.float32), recip_p, ct_den], axis=1)
         wbase = att + d + 2 * hp
         wpad = -(-wbase // 128) * 128
         if wpad > wbase:
             w_tab = jnp.concatenate(
                 [w_tab, jnp.zeros((q.shape[0], wpad - wbase), jnp.float32)],
                 axis=1)
-        w_g = w_tab.astype(jnp.bfloat16)[jnp.asarray(rowv_np)]
+        # Barrier: without it XLA fuses the pack (concat+matmul epilogue)
+        # into the [cap]-row gather and re-evaluates it per gathered row —
+        # measured 38 ms fused vs 5 (pack) + 13 (gather) ms materialised.
+        w_tab16 = jax.lax.optimization_barrier(w_tab.astype(jnp.bfloat16))
+        w_g = w_tab16[jnp.asarray(rowv_np)]
         dx_col = _bwd_dx_col_call(plan, w_g, x, kw, kb, gmax, heads=heads,
                                   square_plus=square_plus, score=score,
                                   score_params=score_params)
@@ -1641,21 +1680,28 @@ def _ax_bwd(plan, heads, square_plus, score, res, cts):
     qw, qb, kw, kb, x_n, x_g, gmax, num, den, shifts, score_params = res
     ct_ax, ct_den_in = cts
     d = x_g.shape[1]
+    hp = max(8, heads)
     recip = 1.0 / (den[:, :heads] + 1e-16)
-    ct_num = jnp.concatenate(
-        [ct_ax * (recip[:, h:h + 1] / heads) for h in range(heads)], axis=1)
     upd = [-(jnp.sum(ct_ax * num[:, h * d:(h + 1) * d].astype(jnp.float32),
                      axis=1) * recip[:, h] ** 2) / heads
            for h in range(heads)]
     ct_den = ct_den_in.at[:, :heads].add(jnp.stack(upd, axis=1))
-    grads = _fused_bwd(plan, heads, square_plus, score,
-                       (qw, qb, kw, kb, x_n, x_g, gmax, shifts,
-                        score_params),
-                       (ct_num, ct_den))
+    # separable mega-kernel path: the per-head cotangent ct_ax ⊙ recip_h
+    # never materialises (no [N, H·D] ct_num operand — see _bwd_kernel)
+    rpad = jnp.zeros((ct_ax.shape[0], hp - heads), jnp.float32)
+    recip_p = jnp.concatenate([recip * (1.0 / heads), rpad], axis=1)
+    dq, dxg, dkw, dkb, dgmax, dextra = _fused_bwd_mega_call(
+        plan, qw, qb, kw, kb, x_n, x_g, gmax, ct_ax.astype(jnp.float32),
+        ct_den, heads=heads, square_plus=square_plus, shifts=shifts,
+        score=score, score_params=score_params, recip_p=recip_p)
+    xn_f = x_n.astype(jnp.float32)
+    dqw = xn_f.T @ dq
+    dqb = jnp.sum(dq, axis=0)
+    dx_n = (dq @ qw.T).astype(x_n.dtype)
     ct_shifts = (None if shifts is None
                  else tuple(jnp.zeros_like(s) for s in shifts))
-    # grads = (dqw, dqb, dkw, dkb, dx_n, dx_g, dgmax, dextra)
-    return grads[:7] + (ct_shifts, grads[7])
+    return (dqw, dqb, dkw, dkb, dx_n, dxg.astype(x_g.dtype), dgmax,
+            ct_shifts, dextra)
 
 
 fused_rhs_ax.defvjp(_ax_fwd, _ax_bwd)
