@@ -111,17 +111,25 @@ def auto_chunk(row, mask=None, *, num_nodes: int, block_n: int,
     Every slot costs gather issue (~2.15 ns/row measured on v5e — width,
     dtype and locality independent) plus stream/MXU work, and every chunk
     carries a fixed score-stage cost (~1 µs ≈ 250 slot-equivalents), so the
-    objective is cap + overhead·n_chunks over lane-aligned candidates.
-    Degree-distribution aware: a chunk near mean_block_edges + ~3σ packs
-    ~1 chunk/block with minimal tail spill (e.g. the arxiv-scale bench
-    graph: 2048 → 1920 cuts capacity 6%)."""
+    objective is cap + overhead·n_chunks over the valid candidates.
+
+    Candidates are multiples of 1024: Mosaic windows a 1-D [capacity]
+    operand (rowl/col_local/valid in every stripe/fused kernel) with
+    tiling (1024,), and a (chunk,) block must divide it evenly — chunk
+    1280 at Cora scale fails to compile ("block shape (1280) is not
+    divisible by tiling"); 2048 at arxiv scale compiles. Finer-grained
+    capacity tuning (the 128-step grid measured ~6% at arxiv scale)
+    would need the 1-D operands reshaped to (cap/128, 128) with 8-row
+    blocks — same 1024 granularity, so nothing is actually lost."""
     row = np.asarray(row, np.int64)
     if mask is not None:
         row = row[np.asarray(mask, bool)]
     n_pad = ((num_nodes + block_n - 1) // block_n) * block_n
     counts = np.bincount(row // block_n, minlength=n_pad // block_n)
+    lo = max(1024, -(-lo // 1024) * 1024)
+    hi = max(lo, (hi // 1024) * 1024)
     best, best_cost = hi, float("inf")
-    for c in range(lo, hi + 1, 128):
+    for c in range(lo, hi + 1, 1024):
         nc = int(np.maximum(1, -(-counts // c)).sum())
         cost = nc * (c + per_chunk_overhead_slots)
         if cost < best_cost:
