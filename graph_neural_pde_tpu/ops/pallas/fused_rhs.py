@@ -959,7 +959,7 @@ def _fused_bwd_mega_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax,
 def _bwd_dx_col_kernel(cr_ref, coll_ref, valid_ref, wg_ref, xt_ref, kw_ref,
                        kb_ref, sel_ref, gmax_ref, *rest, chunk, block_n, d,
                        att, heads, hp, d_k, square_plus, dtype,
-                       score="scaled_dot"):
+                       score="scaled_dot", packed=False):
     if score == "exp_kernel":
         var_ref, ls_ref = rest[:2]
         rest = rest[2:]
@@ -984,8 +984,29 @@ def _bwd_dx_col_kernel(cr_ref, coll_ref, valid_ref, wg_ref, xt_ref, kw_ref,
     x_col_l = x_col.astype(dtype)
     k_e = jnp.dot(x_col_l, kw_ref[:].astype(dtype),
                   preferred_element_type=jnp.float32) + kb_ref[:]
-    wg = wg_ref[:]
-    src = wg[:, :att].astype(jnp.float32)
+    if packed:
+        # u32 pair decode: lane j carries ct_ax[j] bf16 bits in the LOW
+        # half and hi-field[j] (q | recip/H | ct_den) bits in the HIGH
+        # half — shift/mask + same-width bitcast, no relayout (the gather
+        # moved one 128-lane block instead of two; see make table pack).
+        # The table arrives f32-BITCAST: a u32 array through the XLA-side
+        # barrier + gather + adjoint while_loop sent the TPU compiler into
+        # a >30-min compile (remat mode was fine); as f32 bits it compiles
+        # in the normal time and the gather moves the same 4 B/lane.
+        w_u = jax.lax.bitcast_convert_type(wg_ref[:], jnp.uint32)
+        lo_f = jax.lax.bitcast_convert_type(w_u << 16, jnp.float32)
+        hi_f = jax.lax.bitcast_convert_type(w_u & jnp.uint32(0xFFFF0000),
+                                            jnp.float32)
+        src = hi_f[:, :att]
+        ct_ax_g = lo_f[:, :d]
+        recip_g = hi_f[:, att:att + hp]
+        ctd_g = hi_f[:, att + hp:att + 2 * hp]
+    else:
+        wg = wg_ref[:]
+        src = wg[:, :att].astype(jnp.float32)
+        ct_ax_g = wg[:, att:att + d].astype(jnp.float32)
+        recip_g = wg[:, att + d:att + d + hp].astype(jnp.float32)
+        ctd_g = wg[:, att + d + hp:att + d + 2 * hp].astype(jnp.float32)
     s, saux = _kernel_scores(src, k_e, sel_ref[:], d_k, score, sp_extra,
                              dtype)
     sm = s - gmax_ref[0, 0]
@@ -1001,9 +1022,6 @@ def _bwd_dx_col_kernel(cr_ref, coll_ref, valid_ref, wg_ref, xt_ref, kw_ref,
     u = u * vmask
     duds = duds * vmask
 
-    ct_ax_g = wg[:, att:att + d].astype(jnp.float32)
-    recip_g = wg[:, att + d:att + d + hp].astype(jnp.float32)
-    ctd_g = wg[:, att + d + hp:att + d + 2 * hp].astype(jnp.float32)
     # ctn_h = ct_ax ⊙ recip_h is SEPARABLE (per-head scalar × shared [D]
     # row): both head reductions collapse to one row-dot / one row-sum —
     #   du_h    = Σ_d ctn_h·x_col = recip_h · ⟨ct_ax, x_col⟩
@@ -1033,8 +1051,11 @@ def _bwd_dx_col_call(plan: StripePlan, w_g, x_n, kw, kb, gmax, *,
                      score_params=()):
     """dx [N, D] — x's aggregation gradient, computed per COL-plan chunk.
 
-    w_g: [cap, wpad] pre-gathered wide per-node rows (by each edge's row id,
-    in col-plan slot order; layout documented above)."""
+    w_g: pre-gathered wide per-node rows (by each edge's row id, in
+    col-plan slot order; layout documented above) — either [cap, wpad]
+    bf16 or, when int32/uint32, the [cap, 128] u32 PAIR-PACKED table
+    (ct_ax bits low, q|recip|ct_den bits high — one lane-block gathered
+    instead of two)."""
     cplan = plan.col_plan
     n, d = x_n.shape
     att = kw.shape[1]
@@ -1042,6 +1063,9 @@ def _bwd_dx_col_call(plan: StripePlan, w_g, x_n, kw, kb, gmax, *,
     d_k = att // heads
     chunk, block_n, nc = cplan.chunk, cplan.block_n, cplan.n_chunks
     assert w_g.shape[0] == cplan.capacity
+    # packed tables are f32-bitcast u32 pairs, distinguished by width+dtype
+    # (the unpacked table is bf16 [cap, wpad])
+    packed = w_g.dtype == jnp.float32 and w_g.shape[1] == 128
     if interpret is None:
         interpret = not _on_tpu()
     sel = jnp.asarray(_head_selector(att, heads, hp))
@@ -1077,7 +1101,7 @@ def _bwd_dx_col_call(plan: StripePlan, w_g, x_n, kw, kb, gmax, *,
     kernel = functools.partial(
         _bwd_dx_col_kernel, chunk=chunk, block_n=block_n, d=d, att=att,
         heads=heads, hp=hp, d_k=d_k, square_plus=square_plus, dtype=dtype,
-        score=score)
+        score=score, packed=packed)
     flops = 2 * nc * chunk * (2 * block_n * d + d * att * 2 + att * hp * 2
                               + heads * d * 3)
     (dx,) = pl.pallas_call(
@@ -1154,19 +1178,44 @@ def make_fused_ax_colplan(plan: StripePlan, heads: int, square_plus: bool,
         # pack the node table and gather it once by row id (hot)
         xn_f = x.astype(jnp.float32)
         q = xn_f @ qw + qb                                    # [N, ATT]
-        w_tab = jnp.concatenate(
-            [q, ct_ax.astype(jnp.float32), recip_p, ct_den], axis=1)
-        wbase = att + d + 2 * hp
-        wpad = -(-wbase // 128) * 128
-        if wpad > wbase:
-            w_tab = jnp.concatenate(
-                [w_tab, jnp.zeros((q.shape[0], wpad - wbase), jnp.float32)],
+        nrow = q.shape[0]
+        if d <= 128 and att + 2 * hp <= 128:
+            # u32 PAIR PACK: the [cap]-row gather is lane-block-bound
+            # (measured [cap,128]f32 8.9 ms ≈ [cap,128]bf16 8.7 vs
+            # [cap,256]bf16 12.6), so carry both 128-lane halves in ONE
+            # u32 block: lo bits = ct_ax bf16, hi bits = q|recip|ct_den
+            # bf16. Pure elementwise shift/mask pack (+0x8000 = round
+            # half-up to bf16) — no interleave relayout on either side.
+            lo = ct_ax.astype(jnp.float32)
+            if d < 128:
+                lo = jnp.concatenate(
+                    [lo, jnp.zeros((nrow, 128 - d), jnp.float32)], axis=1)
+            hi = jnp.concatenate(
+                [q, recip_p, ct_den,
+                 jnp.zeros((nrow, 128 - att - 2 * hp), jnp.float32)],
                 axis=1)
+            rnd = jnp.uint32(0x8000)
+            hi_b = ((jax.lax.bitcast_convert_type(hi, jnp.uint32) + rnd)
+                    & jnp.uint32(0xFFFF0000))
+            lo_b = ((jax.lax.bitcast_convert_type(lo, jnp.uint32) + rnd)
+                    >> 16)
+            # ship as f32 bits: a u32 array through barrier+gather+adjoint
+            # while_loop stalls the TPU compiler (see _bwd_dx_col_kernel)
+            w_tab = jax.lax.bitcast_convert_type(hi_b | lo_b, jnp.float32)
+        else:
+            w_tab32 = jnp.concatenate(
+                [q, ct_ax.astype(jnp.float32), recip_p, ct_den], axis=1)
+            wbase = att + d + 2 * hp
+            wpad = -(-wbase // 128) * 128
+            if wpad > wbase:
+                w_tab32 = jnp.concatenate(
+                    [w_tab32, jnp.zeros((nrow, wpad - wbase), jnp.float32)],
+                    axis=1)
+            w_tab = w_tab32.astype(jnp.bfloat16)
         # Barrier: without it XLA fuses the pack (concat+matmul epilogue)
         # into the [cap]-row gather and re-evaluates it per gathered row —
         # measured 38 ms fused vs 5 (pack) + 13 (gather) ms materialised.
-        w_tab16 = jax.lax.optimization_barrier(w_tab.astype(jnp.bfloat16))
-        w_g = w_tab16[jnp.asarray(rowv_np)]
+        w_g = jax.lax.optimization_barrier(w_tab)[jnp.asarray(rowv_np)]
         dx_col = _bwd_dx_col_call(plan, w_g, x, kw, kb, gmax, heads=heads,
                                   square_plus=square_plus, score=score,
                                   score_params=score_params)
