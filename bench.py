@@ -344,9 +344,21 @@ def main():
     y = jnp.asarray(rng_t.integers(0, nc, size=x.shape[0]), jnp.int32)
     mask = jnp.asarray(rng_t.random(x.shape[0]) < 0.5)
     from graph_neural_pde_tpu.models.gnn import GNNModel
+    # hard per-mode alarm: a pathological XLA compile (seen once: a u32
+    # array threaded through barrier+gather+the adjoint while_loop sent the
+    # TPU compiler >30 min) must cost ONE mode's number, never the whole
+    # bench JSON. SIGALRM interrupts the blocked compile RPC with an
+    # exception the except below absorbs.
+    import signal
+
+    def _alarm(signum, frame):
+        raise TimeoutError("train-mode compile/run exceeded alarm")
+
     for mode, over in (("remat", dict(remat=True)),
                        ("adjoint", dict(adjoint=True, adjoint_method="rk4",
                                         adjoint_step_size=1.0))):
+        old_h = signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(900)
         try:
             m_t = GNNModel(model.cfg.replace(**over), nf, nc, g_raw)
             nfe_t, dt_t, comp_t = _time_train(m_t, params, state, x, y, mask)
@@ -358,12 +370,17 @@ def main():
                   file=sys.stderr)
         except Exception as ex:  # noqa: BLE001
             print(f"# train[{mode}] failed: {ex}", file=sys.stderr)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old_h)
 
     # secondary: a NON-scaled-dot score family through the same one-pass
     # kernel (VERDICT r2 #3b: the fast engine must cover the tuned configs'
     # score types — Pubmed is cosine_sim, Photo pearson, Citeseer
     # exp_kernel)
     cosine_rate = None
+    old_h = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(600)
     try:
         from graph_neural_pde_tpu.models.gnn import GNNModel as _G
         m_c = _G(model.cfg.replace(attention_type="cosine_sim"), nf, nc,
@@ -374,16 +391,24 @@ def main():
               f"({dt_c*1000:.0f} ms fwd)", file=sys.stderr)
     except Exception as ex:  # noqa: BLE001
         print(f"# cosine secondary failed: {ex}", file=sys.stderr)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old_h)
 
     # secondary: GRAND-l solved by the Chebyshev expm expansion — the linear
     # frozen-attention family every tuned best_params config belongs to
     cheby_rate = None
+    old_h = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(600)
     try:
         m2, p2, s2 = build_grand_l_cheby(g_raw, nf, nc)
         nfe2, dt2, _ = _time_forward(m2, p2, s2, x)
         cheby_rate = nfe2 * e_valid / dt2
     except Exception as ex:  # noqa: BLE001
         print(f"# cheby secondary failed: {ex}", file=sys.stderr)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old_h)
 
     baseline = 1.5e8  # estimated torchdiffeq V100 edge·NFE/s (see docstring)
     out = {
