@@ -295,8 +295,30 @@ def verify_kernels_on_device():
         assert np.abs(a - b).max() / w_scale < 3e-2, (
             f"colplan e2e {name}: {np.abs(a - b).max()} vs scale {w_scale}")
 
+    # ---- folded epilogue: f = alpha·(ax − x) + per-row guard in-kernel --
+    # Non-fatal while Config.fold_epilogue defaults False: the folded form
+    # is not in the timed path, so its verification failing must not cost
+    # the bench JSON — it only gates flipping the flag on.
+    fold_ok = False
+    try:
+        from graph_neural_pde_tpu.ops.pallas.fused_rhs import fused_rhs_f
+        alpha = jnp.float32(0.73)
+        f_fold = fused_rhs_f(plan_c, heads, "scaled_dot", qw, qb, kw, kb,
+                             x_nodes, col_j, jnp.bfloat16, alpha)
+        ax_ref, _ = op(qw, qb, kw, kb, x_nodes, gmax0, ())
+        f_ref = np.asarray(alpha * (ax_ref - x_nodes), np.float64)
+        fs = np.abs(f_ref).max() + 1e-9
+        assert np.isfinite(np.asarray(f_fold)).all(), "folded f poisoned"
+        assert (np.abs(np.asarray(f_fold, np.float64) - f_ref).max() / fs
+                < 3e-2), "folded epilogue f"
+        fold_ok = True
+    except Exception as ex:  # noqa: BLE001
+        print(f"# folded-epilogue verify FAILED (flag stays off): {ex}",
+              file=sys.stderr)
+
     print("# kernels verified on-device (stripe gather, dual scatter, "
-          "fused RHS fwd; mega backward, col-plan dx scatter, "
+          "fused RHS fwd" + (" + folded epilogue" if fold_ok else "") +
+          "; mega backward, col-plan dx scatter, "
           "col-plan e2e gradient path)",
           file=sys.stderr)
 

@@ -164,6 +164,13 @@ class Config:
     # OFF elsewhere (CPU exercises the kernels in interpret mode only where
     # tests opt in). Explicit True/False overrides either way.
     stripe_fused: Optional[bool] = None
+    # fold the GRAND-nl RHS epilogue (f = alpha·(ax − x) + per-row den
+    # guard) into the fused eval kernel's final write on no-grad solves
+    # (bench forwards, Trainer eval, inference) — removes the XLA-side
+    # ax read + x re-read + guard pass per eval. OFF until measured on
+    # TPU (candidate from probe12's solver-tail decomposition); training
+    # gradients are unaffected either way (blocks.py gates on training).
+    fold_epilogue: bool = False
     # symmetric-backward engine variant: for to_undirected edge sets, each
     # edge's x[col] cotangent can be computed at its REVERSE edge and
     # scattered through the row plan (fused_rhs.make_fused_ax_sym) instead

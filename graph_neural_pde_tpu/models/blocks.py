@@ -313,7 +313,9 @@ def block_forward(bparams, cfg: Config, g: Graph, x, training: bool,
                  "t_final": jnp.asarray(cfg.time, jnp.float32)}
         return z, stats, ()
 
-    rhs = make_rhs(cfg, g_run, spmm_fn=spmm_fn, stripe_plan=stripe_plan)
+    rhs = make_rhs(cfg, g_run, spmm_fn=spmm_fn, stripe_plan=stripe_plan,
+                   eval_fold=cfg.fold_epilogue and not training
+                   and not use_reg)
     if use_reg:
         rhs_run = wrap_regularized(rhs, reg_names)
         state0 = (x,) + tuple(jnp.zeros((x.shape[0],)) for _ in reg_names)

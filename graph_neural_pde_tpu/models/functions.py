@@ -87,7 +87,8 @@ def _col_gather(g: Graph, stripe_plan, x, pay_dt):
 
 
 def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
-                           g: Graph, stripe_plan=None, exact_softmax=False):
+                           g: Graph, stripe_plan=None, exact_softmax=False,
+                           eval_fold=False):
     """GRAND-nl RHS with the normalisation folded into the aggregation.
 
     For attention_norm_idx == 0 the softmax groups coincide with the SpMM
@@ -138,6 +139,20 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
         if score == "exp_kernel":
             score_params = (ap["output_var"].reshape(()),
                             ap["lengthscale"].reshape(()))
+        if eval_fold and not exact_softmax:
+            # eval/no-grad solve: the whole f = alpha·(ax − x) epilogue +
+            # per-row guard folds into the kernel's final write — the
+            # solver axpy consumes f with no XLA-side ax/x/guard passes
+            # (fused_rhs.fused_rhs_f; never differentiated, see blocks.py
+            # gating on `training`).
+            from graph_neural_pde_tpu.ops.pallas.fused_rhs import fused_rhs_f
+            f = fused_rhs_f(stripe_plan, h, score,
+                            ap["Q"]["w"], ap["Q"]["b"],
+                            ap["K"]["w"], ap["K"]["b"], x, g.col,
+                            jnp.bfloat16
+                            if cfg.rhs_payload_dtype == "bfloat16" else None,
+                            _alpha(cfg, fparams), score_params)
+            return _source(cfg, fparams, f, aux)
         if cfg.sym_backward and stripe_plan.symmetric and not exact_softmax:
             # symmetric edge set: the end-to-end op whose backward relocates
             # each edge's x[col] cotangent to its reverse edge — no
@@ -381,7 +396,8 @@ def rhs_may_poison(cfg: Config) -> bool:
 
 
 def make_rhs(cfg: Config, g: Graph, spmm_fn: Optional[Callable] = None,
-             stripe_plan=None, exact_softmax: bool = False) -> Callable:
+             stripe_plan=None, exact_softmax: bool = False,
+             eval_fold: bool = False) -> Callable:
     """Build rhs(fparams, aux, t, x) for cfg.function over graph structure g.
 
     g's row/col/mask are static-shaped index data; all differentiable inputs
@@ -421,7 +437,8 @@ def make_rhs(cfg: Config, g: Graph, spmm_fn: Optional[Callable] = None,
         def rhs(fparams, aux: FuncAux, t, x):
             if use_fused:
                 return _transformer_rhs_fused(fparams, aux, t, x, cfg, g,
-                                              stripe_plan, exact_softmax)
+                                              stripe_plan, exact_softmax,
+                                              eval_fold)
             attention, v = apply_transformer_attention(
                 fparams["att"], cfg, x, g, edge_weight=aux.edge_weight)
             if cfg.mix_features:

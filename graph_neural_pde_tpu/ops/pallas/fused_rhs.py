@@ -235,7 +235,7 @@ def _rhs_kernel_ax(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref,
                    qb_ref, kw_ref, kb_ref, sel_ref, gmax_ref, *rest,
                    chunk, block_n, d, att, heads, hp,
                    d_k, square_plus, dtype, with_shift=False,
-                   with_num=False, score="scaled_dot"):
+                   with_num=False, score="scaled_dot", with_fold=False):
     """Evaluation variant: the [N, H·D] numerators accumulate in VMEM
     scratch and only the per-head-averaged ax = (1/H)·Σ_h num_h/(den_h+eps)
     (plus the small den, for the underflow guard) is written to HBM —
@@ -246,7 +246,17 @@ def _rhs_kernel_ax(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref,
     ``with_num``: additionally flush the scratch numerators to a bf16 HBM
     output — the vjp-mode forward's residual (the backward mega-kernel's
     ct_den update needs num), replacing the separate full-precision num/den
-    kernel (measured 12.7 vs 7.7 ms per eval at bench scale)."""
+    kernel (measured 12.7 vs 7.7 ms per eval at bench scale).
+
+    ``with_fold``: fold the WHOLE RHS epilogue into the final write — the
+    kernel emits f = alpha·(ax − x) with the per-row underflow/overflow
+    guard (NaN poison where den ≤ 0 with deg > 0, or den non-finite)
+    applied in-kernel, so the XLA side consumes f directly in the solver
+    axpy with no intermediate ax read, x re-read, or guard pass. Poison
+    granularity changes from global (any bad row poisons all rows) to
+    per-row — equivalent downstream, because the re-solve trigger is
+    any(~isfinite(stateT)) over the whole state (blocks.py). Eval/no-grad
+    path only: the vjp fwd keeps the unfolded form."""
     if score == "exp_kernel":
         var_ref, ls_ref = rest[:2]
         rest = rest[2:]
@@ -258,6 +268,9 @@ def _rhs_kernel_ax(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref,
         rest = rest[heads:]
     else:
         shift_refs = None
+    if with_fold:
+        alpha_ref, deg_ref = rest[:2]
+        rest = rest[2:]
     if with_num:
         ax_ref, den_ref, num_out_ref, num_scr = rest
     else:
@@ -304,7 +317,18 @@ def _rhs_kernel_ax(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref,
     acc = num_scr[:, 0:d] * recip[:, 0:1]
     for h in range(1, heads):
         acc = acc + num_scr[:, h * d:(h + 1) * d] * recip[:, h:h + 1]
-    ax_ref[:] = acc * (1.0 / heads)
+    axm = acc * (1.0 / heads)
+    if with_fold:
+        # per-row guard on the RUNNING den partials: correct at each
+        # block's last chunk (the write that survives); earlier chunks'
+        # possibly-spurious poison is overwritten.
+        den_h = den_ref[:, :heads]
+        bad = jnp.any(((den_h <= 0.0) & (deg_ref[:][:, None] > 0))
+                      | ~jnp.isfinite(den_h), axis=1, keepdims=True)
+        f = alpha_ref[0, 0] * (axm - xt_ref[:].astype(jnp.float32))
+        ax_ref[:] = jnp.where(bad, jnp.asarray(jnp.nan, jnp.float32), f)
+    else:
+        ax_ref[:] = axm
     if with_num:
         num_out_ref[:] = num_scr[:].astype(num_out_ref.dtype)
 
@@ -313,9 +337,13 @@ def _fused_ax_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
                    heads: int, square_plus: bool, dtype=jnp.bfloat16,
                    interpret: bool | None = None, shifts=None,
                    want_num: bool = False, score: str = "scaled_dot",
-                   score_params=()):
+                   score_params=(), fold=None):
     """(ax [N, D], den [N, Hp]) via the scratch-accumulator kernel, plus a
     bf16 num [N, H·D] residual when ``want_num`` (the vjp-mode forward).
+
+    ``fold``: optional (alpha, node_degree) pair — the kernel then emits
+    the guarded f = alpha·(ax − x) in slot 0 instead of ax (see
+    _rhs_kernel_ax with_fold). Eval-only; incompatible with want_num.
 
     ``shifts``: optional per-head tuple of 1-D [cap] f32 per-edge score
     shifts (e.g. each edge's row max) — makes the in-kernel softmax exact
@@ -367,6 +395,15 @@ def _fused_ax_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
             assert sh.shape == (cap,)
             in_specs.append(pl.BlockSpec((chunk,), lambda i, cr: (i,)))
             args.append(sh.astype(jnp.float32))
+    if fold is not None:
+        assert not want_num, "fold is an eval-only epilogue"
+        alpha_v, deg_v = fold
+        in_specs.append(pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        args.append(jnp.reshape(
+            jnp.asarray(alpha_v).astype(jnp.float32), (1, 1)))
+        in_specs.append(pl.BlockSpec((block_n,), lambda i, cr: (cr[i],)))
+        args.append(jnp.asarray(deg_v, jnp.int32))
     out_specs = [
         pl.BlockSpec((block_n, d), lambda i, cr: (cr[i], 0)),
         pl.BlockSpec((block_n, hp), lambda i, cr: (cr[i], 0)),
@@ -390,7 +427,8 @@ def _fused_ax_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
     kernel = functools.partial(
         _rhs_kernel_ax, chunk=chunk, block_n=block_n, d=d, att=att,
         heads=heads, hp=hp, d_k=d_k, square_plus=square_plus, dtype=dtype,
-        with_shift=with_shift, with_num=want_num, score=score)
+        with_shift=with_shift, with_num=want_num, score=score,
+        with_fold=fold is not None)
     flops = 2 * nc * chunk * (block_n * (att + heads * d + hp) + d * att)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
@@ -1708,6 +1746,30 @@ def fused_rhs_ax(plan: StripePlan, heads: int, square_plus: bool, score: str,
                              shifts=shifts, score=score,
                              score_params=score_params)
     return ax, den
+
+
+def fused_rhs_f(plan: StripePlan, heads: int, score: str, qw, qb, kw, kb,
+                x, col, pay_dt, alpha, score_params=()):
+    """f [N, D] f32 = alpha·(ax − x) with the per-row den guard — the WHOLE
+    GRAND-nl RHS epilogue folded into the eval kernel's final write
+    (_rhs_kernel_ax with_fold). The solver axpy consumes f directly: no
+    intermediate ax read, x re-read, or XLA guard pass per eval.
+
+    Eval/no-grad paths only (bench forwards, Trainer eval steps, inference)
+    — attempting to differentiate through this raises on the Pallas call.
+    Training rides the custom-VJP forms (make_fused_ax_colplan/_sym,
+    fused_rhs_ax) unchanged. Ref semantics: the f = alpha(A(x)−I)x + b·x0
+    epilogue of /root/reference/src/function_transformer_attention.py:60-69
+    (the source term stays outside — one fused XLA pass, off in most tuned
+    configs)."""
+    xd = x if pay_dt is None else x.astype(pay_dt)
+    x_g = xd[col]
+    gmax = jnp.zeros((), jnp.float32)
+    deg = jnp.asarray(plan.node_degree)
+    f, _den = _fused_ax_call(plan, qw, qb, kw, kb, x, x_g, gmax,
+                             heads=heads, square_plus=False, score=score,
+                             score_params=score_params, fold=(alpha, deg))
+    return f
 
 
 def _ax_fwd(plan, heads, square_plus, score, qw, qb, kw, kb, x_n, x_g, gmax,

@@ -537,3 +537,82 @@ class TestMegaKernelGradients:
         p, s, o, loss, stats = tr._train_step(
             p, s, o, ds.x, None, ds.y, ds.train_mask, jax.random.PRNGKey(1))
         assert np.isfinite(float(loss))
+
+
+class TestFoldEpilogue:
+    """Config.fold_epilogue: the f = alpha·(ax − x) epilogue + per-row den
+    guard folded into the eval kernel's final write (fused_rhs_f). Eval
+    forwards must match the unfolded engine; training gradients must be
+    untouched (blocks.py gates the fold on `not training`)."""
+
+    def _pair(self, att_type="scaled_dot", seed=41):
+        from graph_neural_pde_tpu.data.synthetic import make_sbm_dataset
+        from graph_neural_pde_tpu.models.gnn import GNNModel
+        ds = make_sbm_dataset(num_nodes=90, num_classes=3, num_features=10,
+                              seed=seed)
+        base = dict(hidden_dim=12, attention_dim=12, heads=3, method="rk4",
+                    step_size=0.5, time=1.5, input_dropout=0.0, dropout=0.0,
+                    block="constant", function="transformer",
+                    attention_type=att_type, add_source=True,
+                    attention_norm_idx=0, stripe_fused=True,
+                    stripe_block_n=8, stripe_chunk=16)
+        m0 = GNNModel(Config(**base), ds.num_features, ds.num_classes,
+                      ds.graph)
+        m1 = GNNModel(Config(**base, fold_epilogue=True), ds.num_features,
+                      ds.num_classes, ds.graph)
+        return ds, m0, m1
+
+    @pytest.mark.parametrize("att_type", ["scaled_dot", "cosine_sim",
+                                          "pearson", "exp_kernel"])
+    def test_eval_forward_matches(self, att_type):
+        ds, m0, m1 = self._pair(att_type)
+        assert m1.stripe_plan is not None
+        params, state = m0.init(jax.random.PRNGKey(0))
+        lo0, _, _, _ = m0.apply(params, state, ds.x, training=False)
+        lo1, _, _, _ = m1.apply(params, state, ds.x, training=False)
+        # identical kernel up to the final-write epilogue (f32 both sides)
+        np.testing.assert_allclose(np.asarray(lo1), np.asarray(lo0),
+                                   rtol=2e-3, atol=2e-4)
+
+    def test_training_unaffected(self):
+        """fold_epilogue=True must leave the training step (gradient path)
+        running the unfolded custom-VJP engine."""
+        from graph_neural_pde_tpu.training.train import Trainer
+        ds, _, m1 = self._pair()
+        tr = Trainer(m1)
+        p, s = m1.init(jax.random.PRNGKey(0))
+        o = tr.optimizer.init(p)
+        p, s, o, loss, stats = tr._train_step(
+            p, s, o, ds.x, None, ds.y, ds.train_mask, jax.random.PRNGKey(1))
+        assert np.isfinite(float(loss))
+
+    def test_isolated_node_stays_finite(self):
+        """deg==0 rows must NOT be poisoned by the in-kernel per-row guard
+        (den==0 there is structural, not underflow)."""
+        from graph_neural_pde_tpu.models.blocks import prepare_graph
+        from graph_neural_pde_tpu.models.functions import (
+            init_func_params, make_rhs, FuncAux)
+        rng = np.random.default_rng(7)
+        n, e = 24, 60
+        row = rng.integers(0, n - 4, e).astype(np.int32)   # last 4 isolated
+        col = rng.integers(0, n - 4, e).astype(np.int32)
+        g0 = make_graph(row, col, None, num_nodes=n, capacity=64)
+        cfg = Config(function="transformer", block="constant", hidden_dim=8,
+                     attention_dim=8, heads=2, attention_norm_idx=0,
+                     input_dropout=0.0, dropout=0.0, stripe_fused=True,
+                     stripe_block_n=8, stripe_chunk=16, fold_epilogue=True,
+                     self_loop_weight=0.0)
+        g = prepare_graph(cfg, g0)
+        from graph_neural_pde_tpu.models.blocks import build_stripe_engine
+        g, plan = build_stripe_engine(cfg, g)
+        assert plan is not None
+        key = jax.random.PRNGKey(0)
+        params = init_func_params(key, cfg, 8)
+        x = jnp.asarray(rng.normal(size=(n, 8)), jnp.float32)
+        aux = FuncAux(attention=None, edge_weight=g.weight, x0=x)
+        f_fold = make_rhs(cfg, g, stripe_plan=plan, eval_fold=True)(
+            params, aux, 0.0, x)
+        f_ref = make_rhs(cfg, g, stripe_plan=plan)(params, aux, 0.0, x)
+        assert np.isfinite(np.asarray(f_fold)).all()
+        np.testing.assert_allclose(np.asarray(f_fold), np.asarray(f_ref),
+                                   rtol=2e-3, atol=2e-4)
