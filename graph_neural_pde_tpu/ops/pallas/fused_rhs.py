@@ -1755,21 +1755,57 @@ def fused_rhs_f(plan: StripePlan, heads: int, score: str, qw, qb, kw, kb,
     (_rhs_kernel_ax with_fold). The solver axpy consumes f directly: no
     intermediate ax read, x re-read, or XLA guard pass per eval.
 
-    Eval/no-grad paths only (bench forwards, Trainer eval steps, inference)
-    — attempting to differentiate through this raises on the Pallas call.
-    Training rides the custom-VJP forms (make_fused_ax_colplan/_sym,
-    fused_rhs_ax) unchanged. Ref semantics: the f = alpha(A(x)−I)x + b·x0
-    epilogue of /root/reference/src/function_transformer_attention.py:60-69
-    (the source term stays outside — one fused XLA pass, off in most tuned
+    Built for eval/no-grad paths (bench forwards, Trainer eval steps,
+    inference) — training rides the custom-VJP forms
+    (make_fused_ax_colplan/_sym, fused_rhs_ax) via blocks.py's gating.
+    Differentiating through THIS op is nonetheless safe: its vjp falls
+    back to the unfolded fused_rhs_ax composition (same kernel, epilogue
+    in XLA), so a stray jax.grad over an eval-mode model gets the same
+    gradients as the unfolded engine rather than a Pallas AD error.
+    Ref semantics: the f = alpha(A(x)−I)x + b·x0 epilogue of
+    /root/reference/src/function_transformer_attention.py:60-69 (the
+    source term stays outside — one fused XLA pass, off in most tuned
     configs)."""
-    xd = x if pay_dt is None else x.astype(pay_dt)
-    x_g = xd[col]
-    gmax = jnp.zeros((), jnp.float32)
-    deg = jnp.asarray(plan.node_degree)
-    f, _den = _fused_ax_call(plan, qw, qb, kw, kb, x, x_g, gmax,
-                             heads=heads, square_plus=False, score=score,
-                             score_params=score_params, fold=(alpha, deg))
-    return f
+    # closure constants stay NUMPY (traced-safe — a jnp array created here
+    # would leak the enclosing trace into the custom_vjp's bwd replay)
+    deg_np = np.asarray(plan.node_degree)
+
+    def _ref(qw_, qb_, kw_, kb_, x_, alpha_, sp):
+        # unfolded composition with the SAME per-row guard semantics as
+        # the kernel epilogue (gradient path only)
+        xd = x_ if pay_dt is None else x_.astype(pay_dt)
+        x_g = xd[col]
+        gmax = jnp.zeros((), jnp.float32)
+        ax, den = fused_rhs_ax(plan, heads, False, score, qw_, qb_, kw_,
+                               kb_, x_, x_g, gmax, None, sp)
+        den_h = den[:, :heads]
+        deg = jnp.asarray(deg_np)
+        bad = jnp.any(((den_h <= 0.0) & (deg[:, None] > 0))
+                      | ~jnp.isfinite(den_h), axis=1, keepdims=True)
+        axg = jnp.where(bad, jnp.asarray(jnp.nan, ax.dtype), ax)
+        return alpha_ * (axg - x_)
+
+    @jax.custom_vjp
+    def op(qw_, qb_, kw_, kb_, x_, alpha_, sp):
+        xd = x_ if pay_dt is None else x_.astype(pay_dt)
+        x_g = xd[col]
+        gmax = jnp.zeros((), jnp.float32)
+        f, _den = _fused_ax_call(plan, qw_, qb_, kw_, kb_, x_, x_g, gmax,
+                                 heads=heads, square_plus=False,
+                                 score=score, score_params=sp,
+                                 fold=(alpha_, jnp.asarray(deg_np)))
+        return f
+
+    def op_fwd(qw_, qb_, kw_, kb_, x_, alpha_, sp):
+        return (_ref(qw_, qb_, kw_, kb_, x_, alpha_, sp),
+                (qw_, qb_, kw_, kb_, x_, alpha_, sp))
+
+    def op_bwd(res, ct):
+        _, pull = jax.vjp(_ref, *res)
+        return pull(ct)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op(qw, qb, kw, kb, x, alpha, tuple(score_params))
 
 
 def _ax_fwd(plan, heads, square_plus, score, qw, qb, kw, kb, x_n, x_g, gmax,

@@ -616,3 +616,29 @@ class TestFoldEpilogue:
         assert np.isfinite(np.asarray(f_fold)).all()
         np.testing.assert_allclose(np.asarray(f_fold), np.asarray(f_ref),
                                    rtol=2e-3, atol=2e-4)
+
+    def test_grad_through_eval_falls_back(self):
+        """jax.grad over an eval-mode (training=False) forward with
+        fold_epilogue=True must match the unfolded engine's gradients —
+        the folded op's vjp falls back to the unfolded composition
+        instead of erroring on the Pallas call."""
+        ds, m0, m1 = self._pair()
+        params, state = m0.init(jax.random.PRNGKey(0))
+
+        def loss(model, p):
+            lo, _, _, _ = model.apply(p, state, ds.x, training=False)
+            return jnp.sum(lo ** 2)
+
+        g0 = jax.grad(lambda p: loss(m0, p))(params)
+        g1 = jax.grad(lambda p: loss(m1, p))(params)
+        # m0 rides the col-plan backward (bf16 packed tables), the fold
+        # fallback rides fused_rhs_ax's stripe backward — same math,
+        # different kernels; engine-comparison tolerance as elsewhere
+        np.testing.assert_allclose(
+            np.asarray(g1["block"]["func"]["att"]["Q"]["w"]),
+            np.asarray(g0["block"]["func"]["att"]["Q"]["w"]),
+            rtol=5e-2, atol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(g1["block"]["func"]["alpha_train"]),
+            np.asarray(g0["block"]["func"]["alpha_train"]),
+            rtol=5e-2, atol=2e-3)
