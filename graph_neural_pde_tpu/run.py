@@ -166,6 +166,16 @@ def main(cfg: Config, data_dir: str = "./data", verbose: bool = True,
                                      False, _jax.random.PRNGKey(0))
                 att_params = params["block"].get(
                     "att", params["block"]["func"].get("att"))
+                if att_params is None:
+                    # reference-faithful: edge sampling scores edges by the
+                    # model's attention (graph_rewiring.py:151-153 calls
+                    # odeblock.get_attention_weights, which only attention
+                    # blocks/functions provide — a constant block with the
+                    # laplacian function fails there too)
+                    raise ValueError(
+                        "--edge_sampling needs an attention-bearing model: "
+                        "use --block attention/mixed/hard_attention or "
+                        "--function transformer/GAT")
                 att, _ = apply_transformer_attention(att_params, cfg, x0,
                                                      graph,
                                                      edge_weight=graph.weight)
