@@ -321,6 +321,7 @@ def verify_kernels_on_device():
           "; mega backward, col-plan dx scatter, "
           "col-plan e2e gradient path)",
           file=sys.stderr)
+    return fold_ok
 
 
 def _time_train(model, params, state, x, y, mask, reps=3, batches=2):
@@ -347,14 +348,46 @@ def _time_train(model, params, state, x, y, mask, reps=3, batches=2):
 
 
 def main():
+    fold_verified = False
     if jax.default_backend() == "tpu":
-        verify_kernels_on_device()
+        fold_verified = verify_kernels_on_device()
     model, params, state, x, g_raw, nf, nc = build_benchmark()
     g = model.graph
     e_valid = int(jax.device_get(g.num_edges))
 
     nfe, dt, compile_s = _time_forward(model, params, state, x)
     edge_updates_per_sec = nfe * e_valid / dt
+
+    # folded-epilogue engine (Config.fold_epilogue): attempted ONLY after
+    # the unfolded headline is banked and only when the fold passed the
+    # on-device oracle above; a compile fault or hang at bench scale costs
+    # this attempt, not the JSON. Same model family, better engine config
+    # — the headline takes the better measured rate (as train does across
+    # remat/adjoint).
+    fold_rate = None
+    if fold_verified:
+        import signal as _sig
+
+        def _fold_alarm(signum, frame):
+            raise TimeoutError("folded forward exceeded alarm")
+
+        old_h = _sig.signal(_sig.SIGALRM, _fold_alarm)
+        _sig.alarm(600)
+        try:
+            from graph_neural_pde_tpu.models.gnn import GNNModel as _GF
+            m_f = _GF(model.cfg.replace(fold_epilogue=True), nf, nc, g_raw)
+            nfe_f, dt_f, _ = _time_forward(m_f, params, state, x)
+            fold_rate = nfe_f * e_valid / dt_f
+            print(f"# folded epilogue: {fold_rate/1e6:.1f}M "
+                  f"({dt_f*1000:.1f} ms fwd vs {dt*1000:.1f} unfolded)",
+                  file=sys.stderr)
+        except Exception as ex:  # noqa: BLE001
+            print(f"# folded forward failed: {ex}", file=sys.stderr)
+        finally:
+            _sig.alarm(0)
+            _sig.signal(_sig.SIGALRM, old_h)
+        if fold_rate is not None and fold_rate > edge_updates_per_sec:
+            edge_updates_per_sec = fold_rate
 
     # TRAINING throughput (VERDICT r2 #1): one full optimizer step of the
     # same GRAND-nl config — the reference baseline is a training stack
@@ -439,6 +472,8 @@ def main():
         "unit": "edge·NFE/s",
         "vs_baseline": round(edge_updates_per_sec / baseline, 3),
     }
+    if fold_rate is not None:
+        out["grand_nl_fold_edge_updates_per_sec_nfe"] = round(fold_rate, 1)
     if train_rate is not None:
         out["train_edge_updates_per_sec_nfe"] = round(train_rate, 1)
         for mode, ms in train_ms.items():
