@@ -32,7 +32,9 @@ numerators) edge·NFE/s. Round 3 adds the TRAINING metric
 modes): 13-14M (round 2) → 21.6M (backward mega-kernel + col-plan dx
 scatter) → 40.4M (col-plan backward recompute kernel — the per-edge
 cotangent never exists in HBM — plus constant-folded epoch-invariant
-training data; 993 ms/step at 16 fwd NFE). The measured floor is the gather's per-row issue
+training data; 993 ms/step at 16 fwd NFE) → 45.7M (separable-cotangent
+mega/col kernels + u32 pair-packed backward table; 876 ms/step). The
+measured floor is the gather's per-row issue
 rate: 2.15 ns/row on v5e, independent of width (32-128), dtype (bf16/f32)
 and index locality (even fully sorted) — ~500M edge·NFE/s absolute
 single-chip bound at this scale with zero compute. The levers past it are
