@@ -148,6 +148,13 @@ def main():
     print("\n| dataset | data | test acc (mean ± sem, 95% CI) | val acc |")
     print("|---|---|---|---|")
     for r in results:
+        if r.get("mode") == "solver_consistency":
+            per = ", ".join(f"{row['solver']} {row['test']['mean']:.4f}"
+                            for row in r["rows"])
+            verdict = "consistent" if r["consistent"] else "INCONSISTENT"
+            print(f"| {r['dataset']} | solver consistency | {per} | "
+                  f"spread {r['spread']:.4f} ({verdict}) |")
+            continue
         tag = "real" if r["real_data"] else "synthetic stand-in"
         t, v = r["test"], r["val"]
         print(f"| {r['dataset']} | {tag} | {t['mean']:.4f} ± {t['sem']:.4f} "
