@@ -269,8 +269,8 @@ def _rhs_kernel_ax(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref,
     else:
         shift_refs = None
     if with_fold:
-        alpha_ref, deg_ref = rest[:2]
-        rest = rest[2:]
+        alpha_ref = rest[0]
+        rest = rest[1:]
     if with_num:
         ax_ref, den_ref, num_out_ref, num_scr = rest
     else:
@@ -304,8 +304,18 @@ def _rhs_kernel_ax(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref,
         u = (sm + jnp.sqrt(sm * sm + 4.0)) * 0.5
     else:
         u = jnp.exp(sm)
-    hmask = (jax.lax.broadcasted_iota(jnp.int32, (1, hp), 1) < heads)
-    u = u * hmask.astype(u.dtype) * valid_ref[:][:, None]
+    hiota = jax.lax.broadcasted_iota(jnp.int32, (1, hp), 1)
+    hmask = (hiota < heads)
+    if with_fold:
+        # spare den column `heads` accumulates the per-row VALID-EDGE COUNT
+        # (the pt @ u matmul already spans hp lanes, so the in-kernel
+        # degree costs nothing) — replaces a 1-D s32 node-degree operand,
+        # whose (block_n,) window Mosaic rejects (XLA 1-D layouts tile at
+        # T(512)/T(1024), not T(128)).
+        cnt_col = (hiota == heads).astype(u.dtype)
+        u = (u * hmask.astype(u.dtype) + cnt_col) * valid_ref[:][:, None]
+    else:
+        u = u * hmask.astype(u.dtype) * valid_ref[:][:, None]
     den_ref[:] += jnp.dot(pt, u.astype(dtype),
                           preferred_element_type=jnp.float32)
     for h in range(heads):
@@ -323,7 +333,8 @@ def _rhs_kernel_ax(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref,
         # block's last chunk (the write that survives); earlier chunks'
         # possibly-spurious poison is overwritten.
         den_h = den_ref[:, :heads]
-        bad = jnp.any(((den_h <= 0.0) & (deg_ref[:][:, None] > 0))
+        deg_blk = den_ref[:, heads:heads + 1]        # in-kernel edge count
+        bad = jnp.any(((den_h <= 0.0) & (deg_blk > 0.0))
                       | ~jnp.isfinite(den_h), axis=1, keepdims=True)
         f = alpha_ref[0, 0] * (axm - xt_ref[:].astype(jnp.float32))
         ax_ref[:] = jnp.where(bad, jnp.asarray(jnp.nan, jnp.float32), f)
@@ -341,8 +352,9 @@ def _fused_ax_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
     """(ax [N, D], den [N, Hp]) via the scratch-accumulator kernel, plus a
     bf16 num [N, H·D] residual when ``want_num`` (the vjp-mode forward).
 
-    ``fold``: optional (alpha, node_degree) pair — the kernel then emits
-    the guarded f = alpha·(ax − x) in slot 0 instead of ax (see
+    ``fold``: optional alpha scalar — the kernel then emits the guarded
+    f = alpha·(ax − x) in slot 0 instead of ax, with the per-row guard's
+    node degree counted IN-KERNEL into den column ``heads`` (see
     _rhs_kernel_ax with_fold). Eval-only; incompatible with want_num.
 
     ``shifts``: optional per-head tuple of 1-D [cap] f32 per-edge score
@@ -352,7 +364,8 @@ def _fused_ax_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
     att = qw.shape[1]
     assert cap == plan.capacity and kw.shape == (d, att)
     assert x_n.shape == (plan.num_nodes, d)
-    hp = max(8, heads)
+    # fold mode needs one spare den column for the in-kernel edge count
+    hp = max(8, heads + 1) if fold is not None else max(8, heads)
     d_k = att // heads
     chunk, block_n, nc = plan.chunk, plan.block_n, plan.n_chunks
     if interpret is None:
@@ -397,13 +410,10 @@ def _fused_ax_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
             args.append(sh.astype(jnp.float32))
     if fold is not None:
         assert not want_num, "fold is an eval-only epilogue"
-        alpha_v, deg_v = fold
         in_specs.append(pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
                                      memory_space=pltpu.SMEM))
         args.append(jnp.reshape(
-            jnp.asarray(alpha_v).astype(jnp.float32), (1, 1)))
-        in_specs.append(pl.BlockSpec((block_n,), lambda i, cr: (cr[i],)))
-        args.append(jnp.asarray(deg_v, jnp.int32))
+            jnp.asarray(fold).astype(jnp.float32), (1, 1)))
     out_specs = [
         pl.BlockSpec((block_n, d), lambda i, cr: (cr[i], 0)),
         pl.BlockSpec((block_n, hp), lambda i, cr: (cr[i], 0)),
@@ -1793,7 +1803,7 @@ def fused_rhs_f(plan: StripePlan, heads: int, score: str, qw, qb, kw, kb,
         f, _den = _fused_ax_call(plan, qw_, qb_, kw_, kb_, x_, x_g, gmax,
                                  heads=heads, square_plus=False,
                                  score=score, score_params=sp,
-                                 fold=(alpha_, jnp.asarray(deg_np)))
+                                 fold=alpha_)
         return f
 
     def op_fwd(qw_, qb_, kw_, kb_, x_, alpha_, sp):
