@@ -167,10 +167,11 @@ class Config:
     # fold the GRAND-nl RHS epilogue (f = alpha·(ax − x) + per-row den
     # guard) into the fused eval kernel's final write on no-grad solves
     # (bench forwards, Trainer eval, inference) — removes the XLA-side
-    # ax read + x re-read + guard pass per eval. OFF until measured on
-    # TPU (candidate from probe12's solver-tail decomposition); training
+    # ax read + x re-read + guard pass per eval. Default ON (VERDICT r3
+    # #10): measured 2.6 ms/solve faster at bench scale (probe12) and
+    # verified against an on-device oracle every bench run; training
     # gradients are unaffected either way (blocks.py gates on training).
-    fold_epilogue: bool = False
+    fold_epilogue: bool = True
     # symmetric-backward engine variant: for to_undirected edge sets, each
     # edge's x[col] cotangent can be computed at its REVERSE edge and
     # scattered through the row plan (fused_rhs.make_fused_ax_sym) instead

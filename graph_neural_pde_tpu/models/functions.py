@@ -55,6 +55,14 @@ def init_func_params(key, cfg: Config, in_dim: int):
     p = {
         "alpha_train": jnp.zeros(()),
         "beta_train": jnp.zeros(()),
+        # Inert scalar whose COTANGENT carries the continuous adjoint's
+        # measured backward NFE out of the custom-VJP backward solve
+        # (solvers/api._adj_bwd): the reference meters backward function
+        # evaluations with a host-side counter around loss.backward()
+        # (/root/reference/src/run_GNN.py:90-95, utils.py:212-233), which
+        # can't cross jit — a gradient side channel can. Never read by any
+        # RHS; Trainer zeroes its gradient before the optimizer update.
+        "adjoint_nfe_probe": jnp.zeros(()),
     }
     if cfg.function == "transformer":
         p["att"] = init_transformer_attention(key, cfg, in_dim)

@@ -84,6 +84,9 @@ def select_model(cfg: Config, num_features, num_classes, graph, pos_enc_dim=0):
 def main(cfg: Config, data_dir: str = "./data", verbose: bool = True,
          checkpoint_path: Optional[str] = None,
          split_idx: Optional[int] = None):
+    from graph_neural_pde_tpu.utils.compile_cache import (
+        enable_persistent_cache)
+    enable_persistent_cache()
     # fail fast on invalid block/function names (model_configurations.py
     # semantics) instead of erroring mid-forward
     from graph_neural_pde_tpu.models.registry import set_block, set_function

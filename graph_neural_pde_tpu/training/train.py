@@ -109,6 +109,37 @@ def cross_entropy_loss(logits, labels, mask):
     return -jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
+def _probe_paths(tree):
+    jtu = jax.tree_util
+    flat, _ = jtu.tree_flatten_with_path(tree)
+    return [(p, l) for p, l in flat
+            if p and isinstance(p[-1], jtu.DictKey)
+            and p[-1].key == "adjoint_nfe_probe"]
+
+
+def _sum_probe_leaves(tree):
+    """Sum of every adjoint_nfe_probe cotangent, or None if absent."""
+    hits = _probe_paths(tree)
+    if not hits:
+        return None
+    total = jnp.zeros(())
+    for _, leaf in hits:
+        total = total + jnp.sum(leaf)
+    return total
+
+
+def _zero_probe_leaves(tree):
+    jtu = jax.tree_util
+
+    def fn(path, leaf):
+        if path and isinstance(path[-1], jtu.DictKey) \
+                and path[-1].key == "adjoint_nfe_probe":
+            return jnp.zeros_like(leaf)
+        return leaf
+
+    return jtu.tree_map_with_path(fn, tree)
+
+
 def accuracy(logits, labels, mask):
     pred = jnp.argmax(logits, axis=-1)
     m = mask.astype(jnp.float32)
@@ -139,7 +170,8 @@ class Trainer:
         # backward NFE per accepted forward step (the reference meters bwd
         # NFE with a host counter, run_GNN.py:93-95): the discrete adjoint
         # replays each accepted step once (same stage count); the continuous
-        # adjoint's count depends on its own adaptive solve (reported as 0).
+        # adjoint's measured count arrives per-step via the
+        # adjoint_nfe_probe gradient side channel (stats["bwd_nfe"]).
         from graph_neural_pde_tpu.solvers.tableaus import TABLEAUS
         self._bwd_evals_per_step = (
             0 if model.cfg.adjoint
@@ -209,6 +241,16 @@ class Trainer:
 
         (loss, (new_state, stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
+        # Continuous-adjoint backward NFE rides out of the custom-VJP solve
+        # as the cotangent of the inert "adjoint_nfe_probe" leaf
+        # (solvers/api._adj_bwd). Harvest it into the step stats and zero
+        # it so the probe param never moves (the reference's bm meter,
+        # run_GNN.py:93-95).
+        probe = _sum_probe_leaves(grads)
+        if probe is not None:
+            stats = dict(stats)
+            stats["bwd_nfe"] = probe.astype(jnp.int32)
+            grads = _zero_probe_leaves(grads)
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, new_state, opt_state, loss, stats
@@ -318,7 +360,11 @@ class Trainer:
             if va > best["val_acc"]:
                 best = {"val_acc": va, "test_acc": te, "train_acc": tr,
                         "epoch": epoch}
-            bwd_nfe = int(tstats["accepted"]) * self._bwd_evals_per_step
+            if self.cfg.adjoint and "bwd_nfe" in tstats:
+                bwd_nfe = int(tstats["bwd_nfe"])
+            else:
+                bwd_nfe = (int(tstats["accepted"])
+                           * self._bwd_evals_per_step)
             log = EpochLog(epoch, float(loss), tr, va, te,
                            int(tstats["nfe"]), bwd_nfe, time.time() - t0)
             logs.append(log)

@@ -460,6 +460,9 @@ def _main():
     (ray_tune.py main equivalent)."""
     import argparse
     from graph_neural_pde_tpu.data.datasets import get_dataset
+    from graph_neural_pde_tpu.utils.compile_cache import (
+        enable_persistent_cache)
+    enable_persistent_cache()
 
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", default="Cora")

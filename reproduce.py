@@ -124,6 +124,9 @@ def solver_consistency(name: str, data_dir: str, reps: int,
 
 
 def main():
+    from graph_neural_pde_tpu.utils.compile_cache import (
+        enable_persistent_cache)
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--datasets", nargs="+", default=list(best_params))
     p.add_argument("--data_dir", default="./data")

@@ -220,8 +220,17 @@ class TestEndToEnd:
         model = GNNModel(cfg, dataset.num_features, dataset.num_classes,
                          dataset.graph)
         trainer = Trainer(model)
-        _, _, best, logs = trainer.fit(dataset, verbose=False)
+        params, _, best, logs = trainer.fit(dataset, verbose=False)
         assert np.isfinite(logs[-1].loss)
+        # VERDICT r3 #7: the continuous adjoint must report its MEASURED
+        # backward NFE (its own adaptive solve's eval count, carried out of
+        # the custom-VJP bwd by the adjoint_nfe_probe gradient side
+        # channel) — not a hardcoded 0. adaptive_heun needs >=2 evals/step.
+        assert all(l.bwd_nfe > 0 for l in logs), \
+            [l.bwd_nfe for l in logs]
+        # the probe param itself must never move (its gradient is zeroed
+        # before the optimizer update)
+        assert float(params["block"]["func"]["adjoint_nfe_probe"]) == 0.0
 
 
 class TestMixedBlockOracle:
