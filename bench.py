@@ -297,6 +297,70 @@ def verify_kernels_on_device():
         assert np.abs(a - b).max() / w_scale < 3e-2, (
             f"colplan e2e {name}: {np.abs(a - b).max()} vs scale {w_scale}")
 
+    # ---- backward: the PRODUCTION sym gradient path, end to end ---------
+    # make_fused_ax_sym (the default training backward on symmetric plans
+    # since round 4: one separable/packed reverse-edge kernel) vs jax.grad
+    # of the same XLA composition, on a symmetric toy graph.
+    from graph_neural_pde_tpu.ops.pallas.fused_rhs import make_fused_ax_sym
+    from graph_neural_pde_tpu.ops.pallas.stripe import (
+        attach_col_plan, edges_symmetric)
+    import dataclasses as _dc
+    r0 = rng.integers(0, n, e // 2).astype(np.int32)
+    c0 = rng.integers(0, n, e // 2).astype(np.int32)
+    rs = np.concatenate([r0, c0])
+    cs = np.concatenate([c0, r0])
+    order = np.argsort(rs, kind="stable")
+    rs, cs = rs[order], cs[order]
+    plan_s = build_stripe_plan(rs, num_nodes=n, block_n=128, chunk=1024)
+    col_sym = np.zeros(plan_s.capacity, np.int32)
+    col_sym[np.asarray(plan_s.slot_of_edge)] = cs
+    plan_s = attach_col_plan(plan_s, col_sym)
+    row_sym = np.zeros(plan_s.capacity, np.int32)
+    row_sym[np.asarray(plan_s.slot_of_edge)] = rs
+    assert edges_symmetric(row_sym, col_sym, plan_s.valid), "sym toy graph"
+    plan_s = _dc.replace(plan_s, symmetric=True)
+    op_s = make_fused_ax_sym(plan_s, heads, False, "scaled_dot",
+                             jnp.asarray(col_sym), jnp.bfloat16)
+    rows_s = (np.repeat(np.asarray(plan_s.chunk_rows), plan_s.chunk)
+              * plan_s.block_n + np.asarray(plan_s.row_local))
+    rows_sj = jnp.asarray(rows_s)
+    col_sj = jnp.asarray(col_sym)
+    mask_sj = jnp.asarray(plan_s.valid)
+    probe_s = jnp.asarray(rng.normal(size=(plan_s.num_nodes, d)),
+                          jnp.float32)
+
+    def loss_op_s(qw_, qb_, kw_, kb_, x_):
+        ax, _ = op_s(qw_, qb_, kw_, kb_, x_, gmax0, ())
+        return jnp.sum(ax * probe_s)
+
+    def loss_xla_s(qw_, qb_, kw_, kb_, x_):
+        q_ = x_.astype(jnp.float32) @ qw_ + qb_
+        src_ = q_[rows_sj]
+        xg_ = x_.astype(jnp.bfloat16).astype(jnp.float32)[col_sj]
+        ke_ = xg_ @ kw_ + kb_
+        s_ = jnp.sum((src_ * ke_).reshape(-1, heads, att // heads),
+                     axis=-1) / np.sqrt(att // heads)
+        uu_ = jnp.exp(s_) * mask_sj[:, None]
+        ax_ = 0.0
+        for hh in range(heads):
+            nh = jnp.zeros((plan_s.num_nodes, d)).at[rows_sj].add(
+                uu_[:, hh][:, None] * xg_)
+            dh = jnp.zeros((plan_s.num_nodes,)).at[rows_sj].add(uu_[:, hh])
+            ax_ = ax_ + nh / (dh[:, None] + 1e-16)
+        return jnp.sum(ax_ / heads * probe_s)
+
+    g_op = jax.jit(jax.grad(loss_op_s, argnums=(0, 1, 2, 3, 4)))(
+        qw, qb, kw, kb, x_nodes)
+    g_xla = jax.jit(jax.grad(loss_xla_s, argnums=(0, 1, 2, 3, 4)))(
+        qw, qb, kw, kb, x_nodes)
+    w_scale = max(float(np.abs(np.asarray(g)).max())
+                  for g in (g_xla[0], g_xla[2], g_xla[4])) + 1e-9
+    for name, a, b in zip(("dqw", "dqb", "dkw", "dkb", "dx"), g_op, g_xla):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        assert np.abs(a - b).max() / w_scale < 3e-2, (
+            f"sym e2e {name}: {np.abs(a - b).max()} vs scale {w_scale}")
+
     # ---- folded epilogue: f = alpha·(ax − x) + per-row guard in-kernel --
     # Config.fold_epilogue defaults True, so this oracle gates the HEADLINE
     # engine: a failure here drops the headline back to the unfolded form
@@ -321,7 +385,7 @@ def verify_kernels_on_device():
     print("# kernels verified on-device (stripe gather, dual scatter, "
           "fused RHS fwd" + (" + folded epilogue" if fold_ok else "") +
           "; mega backward, col-plan dx scatter, "
-          "col-plan e2e gradient path)",
+          "col-plan + sym e2e gradient paths)",
           file=sys.stderr)
     return fold_ok
 

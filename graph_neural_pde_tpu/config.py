@@ -173,15 +173,15 @@ class Config:
     # gradients are unaffected either way (blocks.py gates on training).
     fold_epilogue: bool = True
     # symmetric-backward engine variant: for to_undirected edge sets, each
-    # edge's x[col] cotangent can be computed at its REVERSE edge and
-    # scattered through the row plan (fused_rhs.make_fused_ax_sym) instead
-    # of permuting the per-edge cotangents into the column plan. Measured at
-    # arxiv scale (deg~16, N=169k): the permute costs ~32 ms (cold 0.7 GB
-    # edge table, ~12 ns/row) vs ~19 ms of hot node-table ct gathers + ~5 ms
-    # extra kernel — net SLOWER end-to-end there (69 vs 62 ms/bwd eval), so
-    # default OFF; on denser graphs (Computers deg~72: node tables ~100x
-    # smaller than the edge table) the reverse-edge form is the right trade.
-    sym_backward: bool = False
+    # edge's x[col] cotangent is computed at its REVERSE edge and scattered
+    # through the row plan (fused_rhs.make_fused_ax_sym) — ONE kernel pass
+    # and ONE u32 pair-packed [cap, 128] gather (lo bits ct_ax, hi bits
+    # recip|ct_den), vs the column-plan form's mega kernel + packed-table
+    # gather + col kernel. None = AUTO: ON whenever the plan is symmetric
+    # (round-4 separable/packed rewrite measured 809 vs 878 ms/train-step
+    # at arxiv bench scale; round 3's pre-separable sym form was slower
+    # and defaulted OFF). Explicit False forces the column-plan backward.
+    sym_backward: Optional[bool] = None
     # dtype of the per-edge payload (the x[col] gather + aggregation values):
     # bfloat16 halves the indexed-op traffic on the only random-access op in
     # the RHS (measured 13.5 -> 12.5 ms at 128 wide, larger wins when wider)

@@ -161,7 +161,9 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
                             if cfg.rhs_payload_dtype == "bfloat16" else None,
                             _alpha(cfg, fparams), score_params)
             return _source(cfg, fparams, f, aux)
-        if cfg.sym_backward and stripe_plan.symmetric and not exact_softmax:
+        use_sym = (cfg.sym_backward if cfg.sym_backward is not None
+                   else True)
+        if use_sym and stripe_plan.symmetric and not exact_softmax:
             # symmetric edge set: the end-to-end op whose backward relocates
             # each edge's x[col] cotangent to its reverse edge — no
             # permutation gather, no column plan (fused_rhs.make_fused_ax_sym).

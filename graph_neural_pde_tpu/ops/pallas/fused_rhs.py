@@ -795,7 +795,12 @@ def _bwd_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref, qb_ref,
                                       preferred_element_type=jnp.float32)
         rg = jax.lax.dot_general(pt, rcp_ref[:].astype(dtype), dims0,
                                  preferred_element_type=jnp.float32)
-        du = rg * jnp.sum(ct_ax_e * xe_f, axis=1, keepdims=True) + dup
+        # lane reduction on the MXU (ones-matmul): the VPU tree-reduce over
+        # D lanes is a multi-pass shuffle chain and these kernels are
+        # VPU-bound (measured −1.9 ms/eval on the sym kernel at bench scale)
+        dot = jnp.dot((ct_ax_e * xe_f).astype(dtype), jnp.ones((d, 8), dtype),
+                      preferred_element_type=jnp.float32)[:, :1]
+        du = rg * dot + dup
         dxg_acc = (jnp.sum(u * rg, axis=1, keepdims=True) * ct_ax_e
                    if want_dxg else None)
     else:
@@ -1075,7 +1080,9 @@ def _bwd_dx_col_kernel(cr_ref, coll_ref, valid_ref, wg_ref, xt_ref, kw_ref,
     #   du_h    = Σ_d ctn_h·x_col = recip_h · ⟨ct_ax, x_col⟩
     #   dxg_acc = Σ_h u_h·ctn_h   = (Σ_h u_h·recip_h) ⊙ ct_ax
     # (recip_g's pad columns are zero, so full-hp sums are exact).
-    dot = jnp.sum(ct_ax_g * x_col, axis=1, keepdims=True)      # [chunk, 1]
+    # Lane reduction on the MXU (ones-matmul) — see _bwd_kernel.
+    dot = jnp.dot((ct_ax_g * x_col).astype(dtype), jnp.ones((d, 8), dtype),
+                  preferred_element_type=jnp.float32)[:, :1]   # [chunk, 1]
     dxg_acc = jnp.sum(u * recip_g, axis=1, keepdims=True) * ct_ax_g
     ds = (dot * recip_g + ctd_g) * duds
 
@@ -1203,6 +1210,14 @@ def make_fused_ax_colplan(plan: StripePlan, heads: int, square_plus: bool,
                                       heads=heads, square_plus=square_plus,
                                       want_num=True, score=score,
                                       score_params=score_params)
+        # x_g stays a residual: a bwd-side regather was measured (round 4)
+        # at +427 ms/step in remat mode — jax.checkpoint marks rematted ops
+        # non-CSE-able, so the regather cannot merge with the recomputed
+        # forward's own gather and is paid on top of it. Full no-remat
+        # taping (which the regather would enable) was also measured
+        # SLOWER per NFE (80 ms/NFE at 8 NFE vs remat's 56) before running
+        # out of HBM at 16 NFE — XLA's scan partial_eval saves far more
+        # than the minimal (x, num, den) tape.
         return (ax, den), (qw, qb, kw, kb, x, x_g, gmax, num, den,
                            score_params)
 
@@ -1294,10 +1309,19 @@ def make_fused_ax_colplan(plan: StripePlan, heads: int, square_plus: bool,
 
 
 def _bwd_sym_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref,
-                    qb_ref, kw_ref, kb_ref, sel_ref, gmax_ref, ctn_ref,
-                    ctd_ref, ctng_ref, ctdg_ref, *rest,
+                    qb_ref, kw_ref, kb_ref, sel_ref, gmax_ref, cta_ref,
+                    rcp_ref, ctd_ref, wg_ref, *rest,
                     chunk, block_n, d, att, heads, hp, d_k, square_plus,
-                    dtype, score="scaled_dot"):
+                    dtype, score="scaled_dot", packed=False):
+    """One-pass symmetric backward (round-4 separable/packed form).
+
+    Node-side cotangent operands arrive SEPARABLY (ct_ax [·, D] + the
+    per-head scalars recip/H and ct_den [·, Hp]) instead of the
+    materialised [·, H·D] ct_num: the row side reads them as resident
+    block rows (cta/rcp/ctd), and the reverse side reads them per edge
+    from ONE u32 pair-packed gathered table wg (lo bits = ct_ax bf16,
+    hi bits = recip|ct_den bf16) — one lane-block gather where the
+    round-3 form needed a [cap, H·D] + a [cap, Hp] gather."""
     if score == "exp_kernel":
         var_ref, ls_ref = rest[:2]
         rest = rest[2:]
@@ -1361,15 +1385,17 @@ def _bwd_sym_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref,
     u, duds = u_duds(s - gmax)
     dup = jax.lax.dot_general(pt, ctd_ref[:].astype(dtype), dims0,
                               preferred_element_type=jnp.float32)
-    du_cols = []
-    for h in range(heads):
-        dv_h = jax.lax.dot_general(
-            pt, ctn_ref[:, h * d:(h + 1) * d].astype(dtype), dims0,
-            preferred_element_type=jnp.float32)
-        du_cols.append(jnp.sum(dv_h * xe_f, axis=1, keepdims=True))
-    if hp > heads:
-        du_cols.append(jnp.zeros((chunk, hp - heads), jnp.float32))
-    ds = (jnp.concatenate(du_cols, axis=1) + dup) * duds
+    ct_ax_e = jax.lax.dot_general(pt, cta_ref[:].astype(dtype), dims0,
+                                  preferred_element_type=jnp.float32)
+    rg = jax.lax.dot_general(pt, rcp_ref[:].astype(dtype), dims0,
+                             preferred_element_type=jnp.float32)
+    # lane reduction on the MXU (ones-matmul) — a VPU tree-reduce over 128
+    # lanes is a multi-pass shuffle chain; the kernel is VPU-bound
+    ones_d8 = jnp.ones((d, 8), dtype)
+    dot = jnp.dot((ct_ax_e * xe_f).astype(dtype), ones_d8,
+                  preferred_element_type=jnp.float32)[:, :1]
+    du = rg * dot + dup
+    ds = du * duds
     dsrc_f, dke, dvar, dls = _kernel_scores_bwd(
         ds, src, k_e, sel_ref[:], selT_mm, d_k, score, sp_extra, saux)
     dq_ref[:] += jnp.dot(pt, dsrc_f.astype(dtype),
@@ -1387,6 +1413,21 @@ def _bwd_sym_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref,
                                 jnp.where(cid == 1, dls, 0.0))
 
     # ---- REVERSE edges: relocate the x[col] cotangent to row_e -----------
+    if packed:
+        # u32 pair decode (see make_fused_ax_sym): lo 16 bits = ct_ax[col]
+        # bf16, hi 16 bits = (recip/H | ct_den)[col] bf16
+        w_u = jax.lax.bitcast_convert_type(wg_ref[:], jnp.uint32)
+        lo_f = jax.lax.bitcast_convert_type(w_u << 16, jnp.float32)
+        hi_f = jax.lax.bitcast_convert_type(w_u & jnp.uint32(0xFFFF0000),
+                                            jnp.float32)
+        ct_ax_g = lo_f[:, :d]
+        recip_g = hi_f[:, :hp]
+        ctdg = hi_f[:, hp:2 * hp]
+    else:
+        wg = wg_ref[:]
+        ct_ax_g = wg[:, :d].astype(jnp.float32)
+        recip_g = wg[:, d:d + hp].astype(jnp.float32)
+        ctdg = wg[:, d + hp:d + 2 * hp].astype(jnp.float32)
     src_rev = (jnp.dot(xe, qw_ref[:].astype(dtype),
                        preferred_element_type=jnp.float32)
                + qb_ref[:])                                  # q[col_e]
@@ -1400,17 +1441,11 @@ def _bwd_sym_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref,
     s_r, saux_r = _kernel_scores(src_rev, k_rev, sel_ref[:], d_k, score,
                                  sp_extra, dtype)
     u_r, duds_r = u_duds(s_r - gmax)
-    dur_cols = []
-    dxr_acc = None
-    for h in range(heads):
-        dv_h = ctng_ref[:, h * d:(h + 1) * d].astype(jnp.float32)
-        dur_cols.append(jnp.sum(dv_h * xe_rev, axis=1, keepdims=True))
-        term = u_r[:, h][:, None] * dv_h
-        dxr_acc = term if dxr_acc is None else dxr_acc + term
-    if hp > heads:
-        dur_cols.append(jnp.zeros((chunk, hp - heads), jnp.float32))
-    ds_r = (jnp.concatenate(dur_cols, axis=1)
-            + ctdg_ref[:].astype(jnp.float32)) * duds_r
+    # separable reverse cotangent: ctn_h[col] = recip_h[col] ⊙ ct_ax[col]
+    dot_r = jnp.dot((ct_ax_g * xe_rev).astype(dtype), ones_d8,
+                    preferred_element_type=jnp.float32)[:, :1]
+    ds_r = (dot_r * recip_g + ctdg) * duds_r
+    dxr_acc = jnp.sum(u_r * recip_g, axis=1, keepdims=True) * ct_ax_g
     _dsrc_r, dke_r, _dv_r, _dl_r = _kernel_scores_bwd(
         ds_r, src_rev, k_rev, sel_ref[:], selT_mm, d_k, score, sp_extra,
         saux_r)
@@ -1422,20 +1457,26 @@ def _bwd_sym_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref,
 
 
 def _fused_bwd_mega_sym_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g,
-                             gmax, ct_num, ct_den, ctn_g, ctd_g, *,
+                             gmax, ct_ax, recip_p, ct_den, w_g, *,
                              heads: int, square_plus: bool,
                              dtype=jnp.bfloat16,
                              interpret: bool | None = None,
                              score: str = "scaled_dot", score_params=()):
     """(dq [N, ATT], dxrow [N, D], dkw, dkb, dgmax, dextra) — the symmetric
-    backward. ctn_g/ctd_g: ct_num[col]/ct_den[col] per plan slot (the
-    reverse edges' cotangent rows; hot node-table gathers)."""
+    backward (separable/packed form). ct_ax [N, D] + recip_p [N, Hp]
+    (recip/H, pad cols zero) + ct_den [N, Hp] are the separable node-side
+    cotangent factors; w_g is the per-slot gathered reverse-edge table (by
+    col id): either the [cap, 128] u32 pair pack (f32-bitcast) or the
+    unpacked bf16 [cap, wpad] (ct_ax | recip_p | ct_den) fallback."""
     cap, d = x_g.shape
     att = qw.shape[1]
-    assert cap == plan.capacity and ct_num.shape == (plan.num_nodes, heads * d)
+    assert cap == plan.capacity and ct_ax.shape == (plan.num_nodes, d)
     hp = max(8, heads)
     assert ct_den.shape == (plan.num_nodes, hp)
-    assert ctn_g.shape == (cap, heads * d) and ctd_g.shape == (cap, hp)
+    assert recip_p.shape == (plan.num_nodes, hp)
+    assert w_g.shape[0] == cap
+    packed = w_g.dtype == jnp.float32 and w_g.shape[1] == 128 and d <= 128
+    wpad = w_g.shape[1]
     d_k = att // heads
     chunk, block_n, nc = plan.chunk, plan.block_n, plan.n_chunks
     if interpret is None:
@@ -1457,14 +1498,14 @@ def _fused_bwd_mega_sym_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g,
         pl.BlockSpec((att, hp), lambda i, cr: (0, 0)),       # selector
         pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
                      memory_space=pltpu.SMEM),               # gmax
-        pl.BlockSpec((block_n, heads * d), lambda i, cr: (cr[i], 0)),  # ct_num
-        pl.BlockSpec((block_n, hp), lambda i, cr: (cr[i], 0)),         # ct_den
-        pl.BlockSpec((chunk, heads * d), lambda i, cr: (i, 0)),        # ctn_g
-        pl.BlockSpec((chunk, hp), lambda i, cr: (i, 0)),               # ctd_g
+        pl.BlockSpec((block_n, d), lambda i, cr: (cr[i], 0)),   # ct_ax
+        pl.BlockSpec((block_n, hp), lambda i, cr: (cr[i], 0)),  # recip_p
+        pl.BlockSpec((block_n, hp), lambda i, cr: (cr[i], 0)),  # ct_den
+        pl.BlockSpec((chunk, wpad), lambda i, cr: (i, 0)),      # w_g
     ]
     args = [jnp.asarray(plan.chunk_rows), jnp.asarray(plan.row_local),
             valid, x_g, x_n, qw, qb2, kw, kb2, sel, gmax2,
-            ct_num, ct_den, ctn_g, ctd_g]
+            ct_ax, recip_p, ct_den, w_g]
     if score == "exp_kernel":
         var, ls = score_params
         for v in (var, ls):
@@ -1497,7 +1538,7 @@ def _fused_bwd_mega_sym_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g,
     kernel = functools.partial(
         _bwd_sym_kernel, chunk=chunk, block_n=block_n, d=d, att=att,
         heads=heads, hp=hp, d_k=d_k, square_plus=square_plus, dtype=dtype,
-        score=score)
+        score=score, packed=packed)
     flops = 4 * nc * chunk * block_n * (att + 2 * heads * d + hp + att)
     outs = pl.pallas_call(
         kernel, grid_spec=grid_spec,
@@ -1547,27 +1588,59 @@ def make_fused_ax_sym(plan: StripePlan, heads: int, square_plus: bool,
                                       heads=heads, square_plus=square_plus,
                                       want_num=True, score=score,
                                       score_params=score_params)
+        # x_g stays a residual — see make_fused_ax_colplan.fwd
         return (ax, den), (qw, qb, kw, kb, x, x_g, gmax, num, den,
                            score_params)
 
     def bwd(res, cts):
         qw, qb, kw, kb, x, x_g, gmax, num, den, score_params = res
-        ct_ax, ct_den_in = cts
+        ct_ax_in, ct_den_in = cts
         d = x_g.shape[1]
+        hp = max(8, heads)
+        nrow = x.shape[0]
+        ct_ax = ct_ax_in.astype(jnp.float32)
         recip = 1.0 / (den[:, :heads] + 1e-16)
-        ct_num = jnp.concatenate(
-            [ct_ax * (recip[:, h:h + 1] / heads) for h in range(heads)],
-            axis=1)
         upd = [-(jnp.sum(ct_ax * num[:, h * d:(h + 1) * d]
                          .astype(jnp.float32), axis=1)
                  * recip[:, h] ** 2) / heads for h in range(heads)]
         ct_den = ct_den_in.at[:, :heads].add(jnp.stack(upd, axis=1))
-        # the reverse edges' cotangent rows (hot node-table gathers)
-        ctn_g = ct_num.astype(jnp.bfloat16)[col]
-        ctd_g = ct_den.astype(jnp.bfloat16)[col]
+        rpad = jnp.zeros((nrow, hp - heads), jnp.float32)
+        recip_p = jnp.concatenate([recip * (1.0 / heads), rpad], axis=1)
+        # ONE reverse-edge table gather (by col id): u32 pair pack — lo
+        # bits ct_ax bf16, hi bits (recip/H | ct_den) bf16 — one lane
+        # block where the round-3 form gathered [cap, H·D] + [cap, Hp].
+        # Shipped as f32 bits (a u32 array through barrier + gather +
+        # the adjoint while_loop stalls the TPU compiler; see
+        # _bwd_dx_col_kernel).
+        if d <= 128 and 2 * hp <= 128:
+            lo = ct_ax
+            if d < 128:
+                lo = jnp.concatenate(
+                    [lo, jnp.zeros((nrow, 128 - d), jnp.float32)], axis=1)
+            hi = jnp.concatenate(
+                [recip_p, ct_den,
+                 jnp.zeros((nrow, 128 - 2 * hp), jnp.float32)], axis=1)
+            rnd = jnp.uint32(0x8000)
+            hi_b = ((jax.lax.bitcast_convert_type(hi, jnp.uint32) + rnd)
+                    & jnp.uint32(0xFFFF0000))
+            lo_b = ((jax.lax.bitcast_convert_type(lo, jnp.uint32) + rnd)
+                    >> 16)
+            w_tab = jax.lax.bitcast_convert_type(hi_b | lo_b, jnp.float32)
+        else:
+            w_tab32 = jnp.concatenate([ct_ax, recip_p, ct_den], axis=1)
+            wbase = d + 2 * hp
+            wpad = -(-wbase // 128) * 128
+            if wpad > wbase:
+                w_tab32 = jnp.concatenate(
+                    [w_tab32, jnp.zeros((nrow, wpad - wbase), jnp.float32)],
+                    axis=1)
+            w_tab = w_tab32.astype(jnp.bfloat16)
+        # barrier: stop XLA fusing the pack into the gather (re-evaluated
+        # per gathered row otherwise — see make_fused_ax_colplan)
+        w_g = jax.lax.optimization_barrier(w_tab)[col]
         dq, dxrow, dkw, dkb, dgmax, dextra = _fused_bwd_mega_sym_call(
-            plan, qw, qb, kw, kb, x, x_g, gmax, ct_num, ct_den, ctn_g,
-            ctd_g, heads=heads, square_plus=square_plus, score=score,
+            plan, qw, qb, kw, kb, x, x_g, gmax, ct_ax, recip_p, ct_den,
+            w_g, heads=heads, square_plus=square_plus, score=score,
             score_params=score_params)
         xn_f = x.astype(jnp.float32)
         dqw = xn_f.T @ dq
