@@ -115,10 +115,11 @@ def _sync(arr):
     _ = float(jax.device_get(arr.reshape(-1)[:1])[0])
 
 
-def _time_forward(model, params, state, x, reps=5, batches=3):
+def _time_forward(model, params, state, x, reps=5, batches=3, pos=None):
     @jax.jit
     def forward(params, x):
-        logits, _, stats, _ = model.apply(params, state, x, training=False)
+        logits, _, stats, _ = model.apply(params, state, x,
+                                          pos_encoding=pos, training=False)
         return logits, stats["nfe"]
 
     t_compile = time.time()
@@ -507,6 +508,35 @@ def main():
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old_h)
 
+    # secondary: the BLEND Beltrami split-space exp_kernel through the same
+    # one-pass kernel (VERDICT r3 #3b: packed (Qx‖Qp)/(Kx‖Kp) projections +
+    # the exp_kernel_beltrami score — the configuration the engine used to
+    # exclude wholesale; ref function_transformer_attention.py:133-171).
+    # Feature/positional state evolve jointly in one 128-wide ODE state.
+    beltrami_rate = None
+    old_h = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(600)
+    try:
+        from graph_neural_pde_tpu.models.gnn import GNNModel as _GB
+        pe_dim = 32
+        cfg_b = model.cfg.replace(
+            beltrami=True, attention_type="exp_kernel",
+            feat_hidden_dim=128 - pe_dim, pos_enc_hidden_dim=pe_dim)
+        m_b = _GB(cfg_b, nf, nc, g_raw, pos_enc_dim=pe_dim)
+        rng_b = np.random.default_rng(7)
+        pos_b = jnp.asarray(rng_b.normal(size=(x.shape[0], pe_dim)),
+                            jnp.float32)
+        p_b, s_b = m_b.init(jax.random.PRNGKey(3))
+        nfe_b, dt_b, _ = _time_forward(m_b, p_b, s_b, x, pos=pos_b)
+        beltrami_rate = nfe_b * e_valid / dt_b
+        print(f"# beltrami exp_kernel secondary: {beltrami_rate/1e6:.1f}M "
+              f"({dt_b*1000:.0f} ms fwd, nfe={nfe_b})", file=sys.stderr)
+    except Exception as ex:  # noqa: BLE001
+        print(f"# beltrami secondary failed: {ex}", file=sys.stderr)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old_h)
+
     # secondary: GRAND-l solved by the Chebyshev expm expansion — the linear
     # frozen-attention family every tuned best_params config belongs to
     cheby_rate = None
@@ -536,6 +566,9 @@ def main():
     if cosine_rate is not None:
         out["grand_nl_cosine_edge_updates_per_sec_nfe"] = round(
             cosine_rate, 1)
+    if beltrami_rate is not None:
+        out["blend_beltrami_edge_updates_per_sec_nfe"] = round(
+            beltrami_rate, 1)
     if cheby_rate is not None:
         out["grand_l_cheby_edge_updates_per_sec"] = round(cheby_rate, 1)
         out["grand_l_cheby_vs_baseline"] = round(cheby_rate / baseline, 3)

@@ -99,8 +99,7 @@ def build_stripe_engine(cfg: Config, g: Graph):
     (callers pad x)."""
     fused_att = (cfg.fused_attention_agg
                  and cfg.function in ("transformer", "GAT")
-                 and not cfg.mix_features and cfg.attention_norm_idx == 0
-                 and not (cfg.beltrami and cfg.attention_type == "exp_kernel"))
+                 and not cfg.mix_features and cfg.attention_norm_idx == 0)
     lap = (cfg.function == "laplacian"
            and cfg.spmm_impl != "pallas_blocked")   # blocked engine owns it
     enabled = cfg.stripe_fused
@@ -111,15 +110,20 @@ def build_stripe_engine(cfg: Config, g: Graph):
         enabled = _on_tpu()
     if not enabled or not (fused_att or lap):
         return g, None
-    if cfg.rewire_KNN or cfg.edge_sampling or cfg.fa_layer:
-        # the plan's index arrays are trace-time constants; between-epoch
-        # graph surgery swaps the (traced) graph arrays underneath a compiled
-        # step and would leave a silently stale plan — keep the XLA engine
+    if cfg.edge_sampling or cfg.fa_layer:
+        # the plan's index arrays are trace-time constants; edge_sampling's
+        # densify/sparsify and the fa_layer's second denser graph change the
+        # DEGREE LAYOUT arbitrarily between epochs, staling the plan — keep
+        # the XLA engine. rewire_KNN is allowed (round 4): its epoch hook
+        # rebuilds the plan with the graph (GNNKNNModel.rewire), the
+        # Trainer keys its compiled steps by plan identity, and the
+        # k-regular kNN layout makes every post-first-rewire plan identical
+        # (one retrace total).
         if cfg.stripe_fused:   # warn only when explicitly requested
             import sys
-            print("[stripe] stripe_fused disabled: runtime rewiring "
-                  "(rewire_KNN/edge_sampling/fa_layer) would stale the "
-                  "static stripe plan", file=sys.stderr)
+            print("[stripe] stripe_fused disabled: runtime edge surgery "
+                  "(edge_sampling/fa_layer) would stale the static stripe "
+                  "plan", file=sys.stderr)
         return g, None
     import numpy as np
     from graph_neural_pde_tpu.ops.pallas.stripe import build_stripe_plan
@@ -147,13 +151,20 @@ def build_stripe_engine(cfg: Config, g: Graph):
     # dual column plan: backward dx[col] scatter rides a static permutation
     # gather + the MXU stripe scatter instead of XLA's unsorted scatter-add;
     # symmetric edge sets additionally unlock the reverse-edge backward
-    # (no permutation at all — see fused_rhs._bwd_sym_kernel)
-    import dataclasses as _dc
-    from graph_neural_pde_tpu.ops.pallas.stripe import (
-        attach_col_plan, edges_symmetric)
-    plan = attach_col_plan(plan, col_s)
-    plan = _dc.replace(plan, symmetric=edges_symmetric(
-        row_s, col_s, plan.valid))
+    # (no permutation at all — see fused_rhs._bwd_sym_kernel).
+    # rewire_KNN configs SKIP both: their between-epoch hook swaps edge
+    # CONTENT (traced) under a row-layout-stable plan, and col_plan/
+    # symmetric are col-content-dependent — without them the fused RHS
+    # takes the row-plan-only fused_rhs_ax path whose backward handles the
+    # col side with traced indices, so one plan serves every rewire of the
+    # same k-regular layout (one retrace at the first rewire only).
+    if not cfg.rewire_KNN:
+        import dataclasses as _dc
+        from graph_neural_pde_tpu.ops.pallas.stripe import (
+            attach_col_plan, edges_symmetric)
+        plan = attach_col_plan(plan, col_s)
+        plan = _dc.replace(plan, symmetric=edges_symmetric(
+            row_s, col_s, plan.valid))
     g2 = Graph(row=jnp.asarray(row_s), col=jnp.asarray(col_s),
                weight=jnp.asarray(w_s), mask=jnp.asarray(plan.valid),
                num_nodes=plan.num_nodes, rows_sorted=True)

@@ -135,7 +135,6 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
                 and cfg.attention_type in ("scaled_dot", "cosine_sim",
                                            "pearson", "exp_kernel")
                 and not cfg.square_plus and not cfg.reweight_attention
-                and not beltrami_exp
                 and not (exact_softmax
                          and cfg.attention_type != "scaled_dot"))
     if use_mega:
@@ -144,7 +143,40 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
 
         score = cfg.attention_type
         score_params = ()
-        if score == "exp_kernel":
+        if beltrami_exp:
+            # BLEND split-space kernel in-kernel (round-4; was excluded):
+            # the (Qx over feature columns ‖ Qp over positional columns)
+            # pair is ONE block-structured [D, 2·ATT] projection — feature
+            # columns of x map to Qx rows in the left half, positional
+            # columns to Qp rows in the right half, zeros elsewhere — so
+            # the packed q/k operands cost the kernel exactly one extra
+            # MXU column block and the score runs as "exp_kernel_beltrami"
+            # with the block-diagonal head selector
+            # (ref function_transformer_attention.py:133-171).
+            score = "exp_kernel_beltrami"
+            fh = cfg.feat_hidden_dim
+            li = fh + cfg.pos_enc_hidden_dim
+            ad = cfg.attention_dim
+
+            def _pack_proj(px, pp):
+                zx = jnp.zeros((li - fh, ad), px["w"].dtype)
+                left = jnp.concatenate([px["w"][:fh], zx, px["w"][fh:]], 0)
+                right = jnp.concatenate(
+                    [jnp.zeros((fh, ad), pp["w"].dtype), pp["w"],
+                     jnp.zeros((d - li, ad), pp["w"].dtype)], 0)
+                return (jnp.concatenate([left, right], axis=1),
+                        jnp.concatenate([px["b"], pp["b"]]))
+
+            qw_big, qb_big = _pack_proj(ap["Qx"], ap["Qp"])
+            kw_big, kb_big = _pack_proj(ap["Kx"], ap["Kp"])
+            ap = dict(ap)
+            ap["Q"] = {"w": qw_big, "b": qb_big}
+            ap["K"] = {"w": kw_big, "b": kb_big}
+            score_params = (ap["output_var_x"].reshape(()),
+                            ap["lengthscale_x"].reshape(()),
+                            ap["output_var_p"].reshape(()),
+                            ap["lengthscale_p"].reshape(()))
+        elif score == "exp_kernel":
             score_params = (ap["output_var"].reshape(()),
                             ap["lengthscale"].reshape(()))
         if eval_fold and not exact_softmax:

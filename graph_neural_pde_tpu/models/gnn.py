@@ -56,10 +56,35 @@ class GNNModel:
 
         # optional Pallas engines: blocked spmm (laplacian, block-local
         # graphs) or stripe row-gather/scatter for the fused attention RHS
+        self._build_engines()
+
+        # width bookkeeping (the reference mutates opt['hidden_dim'] at
+        # base_classes.py:110-124; here the widths are explicit)
+        self.enc_dim = (cfg.feat_hidden_dim + cfg.pos_enc_hidden_dim
+                        if cfg.beltrami else cfg.hidden_dim)
+        self.core_dim = self.enc_dim + (num_classes if cfg.use_labels else 0)
+        self.ode_dim = 2 * self.core_dim if cfg.augment else self.core_dim
+
+    # ------------------------------------------------------------------
+    def _build_engines(self):
+        """(Re)build the Pallas engines for the CURRENT self.graph.
+
+        Called at construction and from between-epoch graph surgery
+        (GNNKNNModel.rewire): the stripe plan's index arrays are trace-time
+        constants, so a rewired graph needs a matching plan. When the new
+        plan's layout equals the old one array-for-array (kNN rewiring is
+        k-regular, so every post-first-rewire layout matches), the OLD plan
+        object is kept — the Trainer keys compiled steps by plan identity
+        (id(model.stripe_plan)) and reuses the executable."""
+        cfg = self.cfg
         from graph_neural_pde_tpu.models.blocks import (
             build_spmm_engine, build_stripe_engine)
+        old_plan = getattr(self, "stripe_plan", None)
         self.graph, self.spmm_fn = build_spmm_engine(cfg, self.graph)
         self.graph, self.stripe_plan = build_stripe_engine(cfg, self.graph)
+        if (old_plan is not None and self.stripe_plan is not None
+                and old_plan.layout_equal(self.stripe_plan)):
+            self.stripe_plan = old_plan
         if (self.stripe_plan is not None and cfg.function == "laplacian"
                 and self.spmm_fn is None):
             # route the laplacian aggregation (the only op of every tuned
@@ -72,14 +97,6 @@ class GNNModel:
             self.spmm_fn = make_stripe_spmm(self.graph, self.stripe_plan,
                                             pay)
 
-        # width bookkeeping (the reference mutates opt['hidden_dim'] at
-        # base_classes.py:110-124; here the widths are explicit)
-        self.enc_dim = (cfg.feat_hidden_dim + cfg.pos_enc_hidden_dim
-                        if cfg.beltrami else cfg.hidden_dim)
-        self.core_dim = self.enc_dim + (num_classes if cfg.use_labels else 0)
-        self.ode_dim = 2 * self.core_dim if cfg.augment else self.core_dim
-
-    # ------------------------------------------------------------------
     def init(self, key):
         cfg = self.cfg
         ks = jax.random.split(key, 8)

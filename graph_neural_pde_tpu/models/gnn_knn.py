@@ -75,11 +75,21 @@ class GNNKNNModel(GNNModel):
         from graph_neural_pde_tpu.models.blocks import prepare_graph
         z = self.embeddings_for_rewiring(params, state, x, pos_encoding)
         loops = self.graph.num_nodes if self.cfg.self_loop_weight > 0 else 0
-        raw_cap = max(self.graph.capacity - loops,
-                      self.graph.num_nodes * self.cfg.rewire_KNN_k)
+        # the raw capacity is pinned at the FIRST rewire so every kNN
+        # rewiring produces the identical (k-regular) row layout — the
+        # rebuilt stripe plan then compares layout_equal to the previous
+        # one and the Trainer's compiled step (keyed by plan identity) is
+        # reused: one retrace at the first rewire, none after.
+        if not hasattr(self, "_rewire_cap"):
+            self._rewire_cap = max(
+                self.graph.capacity - loops,
+                self.graph.num_nodes * self.cfg.rewire_KNN_k)
         raw = apply_knn_rewire(np.asarray(z), self.cfg, self.graph,
-                               capacity=raw_cap)
+                               capacity=self._rewire_cap)
         self.graph = prepare_graph(self.cfg, raw)
+        # rebuild the Pallas engines against the rewired graph (round 4:
+        # rewire_KNN rides the stripe engine across the plan swap)
+        self._build_engines()
         return self.graph
 
     # -- forward with fa layer ----------------------------------------------

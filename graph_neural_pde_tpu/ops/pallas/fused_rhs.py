@@ -53,6 +53,28 @@ def _head_selector(att_dim: int, heads: int, hp: int) -> np.ndarray:
     return sel
 
 
+# score families carrying learnable scalar extras through the kernels:
+# exp_kernel (output_var, lengthscale); exp_kernel_beltrami — the BLEND
+# split-space product kernel (function_transformer_attention.py:133-171) —
+# (output_var_x, lengthscale_x, output_var_p, lengthscale_p)
+_N_SCORE_EXTRAS = {"exp_kernel": 2, "exp_kernel_beltrami": 4}
+
+
+def _score_selector(score: str, att_dim: int, heads: int, hp: int):
+    """The head selector for a score family. For exp_kernel_beltrami the
+    operand rows are the PACKED (x-projection ‖ p-projection) — att_dim is
+    2·ATT — and the selector is the [2·ATT, 2·Hp] block diagonal: columns
+    [0:Hp] sum the x-space head slices, [Hp:2Hp] the p-space ones."""
+    if score == "exp_kernel_beltrami":
+        assert att_dim % 2 == 0
+        half = _head_selector(att_dim // 2, heads, hp)
+        sel = np.zeros((att_dim, 2 * hp), np.float32)
+        sel[: att_dim // 2, :hp] = half
+        sel[att_dim // 2:, hp:] = half
+        return sel
+    return _head_selector(att_dim, heads, hp)
+
+
 def _shift_matrix(shift_refs, chunk, heads, hp):
     """[chunk, hp] per-edge shift from per-head 1-D refs (1-D [cap] f32
     arrays tile padding-free in HBM; a [cap, hp] form would pad 16x)."""
@@ -100,6 +122,18 @@ def _kernel_scores(src, k_e, sel, d_k, score, sp_extra, dtype):
         dist = jnp.maximum(ss - 2.0 * sp + kk, 0.0)
         s = var * var * jnp.exp(-dist / (2.0 * ls * ls))
         return s, (dist, s)
+    if score == "exp_kernel_beltrami":
+        # BLEND split-space product kernel over packed (x ‖ p) operands
+        # [chunk, 2·ATT] with the block-diagonal selector [2·ATT, 2·Hp]
+        # (function_transformer_attention.py:133-171):
+        #   s_h = varx²·exp(−|Δx_h|²/2lsx²) · varp²·exp(−|Δp_h|²/2lsp²)
+        varx, lsx, varp, lsp = sp_extra
+        hp = sel.shape[1] // 2
+        dist2 = jnp.maximum(ss - 2.0 * sp + kk, 0.0)     # [chunk, 2·Hp]
+        sx, sp2 = dist2[:, :hp], dist2[:, hp:]
+        s = ((varx * varx) * jnp.exp(-sx / (2.0 * lsx * lsx))
+             * (varp * varp) * jnp.exp(-sp2 / (2.0 * lsp * lsp)))
+        return s, (sx, sp2, s)
     raise ValueError(f"unknown score '{score}'")
 
 
@@ -108,13 +142,13 @@ def _kernel_scores_bwd(ds, src, k_e, sel, selT_mm, d_k, score, sp_extra,
     """Map d/ds [chunk, hp] back to (dsrc, dk_e [chunk, ATT], extras).
 
     ``selT_mm(a)`` expands per-head [chunk, hp] scalars over head feature
-    slices ([chunk, ATT]). Returns (dsrc, dke, dvar_sum, dls_sum) — the
-    last two are scalar accumulands (nonzero only for exp_kernel).
+    slices ([chunk, ATT]). Returns (dsrc, dke, dextras) — dextras is a
+    tuple of scalar accumulands matching _N_SCORE_EXTRAS[score] (empty for
+    the parameter-free families).
     """
-    zero = jnp.zeros((), jnp.float32)
     if score == "scaled_dot":
         dse = selT_mm(ds) / math.sqrt(d_k)
-        return dse * k_e, dse * src, zero, zero
+        return dse * k_e, dse * src, ()
     if score == "cosine_sim":
         sp, ss, kk, ns, nk = aux
         s = sp / (ns * nk)
@@ -125,7 +159,7 @@ def _kernel_scores_bwd(ds, src, k_e, sel, selT_mm, d_k, score, sp_extra,
         bk = ds * s * gk / jnp.maximum(kk, _EPS_NORM * _EPS_NORM)
         dsrc = selT_mm(a) * k_e - selT_mm(bs) * src
         dke = selT_mm(a) * src - selT_mm(bk) * k_e
-        return dsrc, dke, zero, zero
+        return dsrc, dke, ()
     if score == "pearson":
         spc, ssc, kkc, ns, nk, ms, mk = aux
         s = spc / (ns * nk)
@@ -143,7 +177,7 @@ def _kernel_scores_bwd(ds, src, k_e, sel, selT_mm, d_k, score, sp_extra,
             m = jnp.dot(v.astype(jnp.float32), sel.astype(jnp.float32),
                         preferred_element_type=jnp.float32) / d_k
             return v - selT_mm(m)
-        return center(v_src), center(v_ke), zero, zero
+        return center(v_src), center(v_ke), ()
     if score == "exp_kernel":
         var, ls = sp_extra
         dist, s = aux
@@ -152,7 +186,22 @@ def _kernel_scores_bwd(ds, src, k_e, sel, selT_mm, d_k, score, sp_extra,
         dsrc = -selT_mm(c) * diff
         dvar = jnp.sum(ds * (2.0 * s / var))
         dls = jnp.sum(ds * s * dist) / (ls ** 3)
-        return dsrc, -dsrc, dvar, dls
+        return dsrc, -dsrc, (dvar, dls)
+    if score == "exp_kernel_beltrami":
+        varx, lsx, varp, lsp = sp_extra
+        sx, sp2, s = aux
+        # ∂s/∂sx = −s/(2lsx²); ∂sx/∂src = 2(src−k_e) over the x half —
+        # symmetric in the p half; selT_mm expands both via the
+        # block-diagonal selector
+        cx = ds * s / (lsx * lsx)                    # [chunk, hp]
+        cp = ds * s / (lsp * lsp)
+        c2 = jnp.concatenate([cx, cp], axis=1)       # [chunk, 2·Hp]
+        dsrc = -selT_mm(c2) * (src - k_e)
+        dvarx = jnp.sum(ds * (2.0 * s / varx))
+        dlsx = jnp.sum(ds * s * sx) / (lsx ** 3)
+        dvarp = jnp.sum(ds * (2.0 * s / varp))
+        dlsp = jnp.sum(ds * s * sp2) / (lsp ** 3)
+        return dsrc, -dsrc, (dvarx, dlsx, dvarp, dlsp)
     raise ValueError(f"unknown score '{score}'")
 
 
@@ -160,12 +209,9 @@ def _rhs_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref, qb_ref,
                 kw_ref, kb_ref, sel_ref, gmax_ref, *rest,
                 chunk, block_n, d, att, heads, hp, d_k, square_plus, dtype,
                 with_shift=False, score="scaled_dot"):
-    if score == "exp_kernel":
-        var_ref, ls_ref = rest[:2]
-        rest = rest[2:]
-        sp_extra = (var_ref[0, 0], ls_ref[0, 0])
-    else:
-        sp_extra = None
+    n_ex = _N_SCORE_EXTRAS.get(score, 0)
+    sp_extra = tuple(r[0, 0] for r in rest[:n_ex]) or None
+    rest = rest[n_ex:]
     if with_shift:
         shift_refs = rest[:heads]
         num_ref, den_ref = rest[heads:]
@@ -257,12 +303,9 @@ def _rhs_kernel_ax(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref,
     per-row — equivalent downstream, because the re-solve trigger is
     any(~isfinite(stateT)) over the whole state (blocks.py). Eval/no-grad
     path only: the vjp fwd keeps the unfolded form."""
-    if score == "exp_kernel":
-        var_ref, ls_ref = rest[:2]
-        rest = rest[2:]
-        sp_extra = (var_ref[0, 0], ls_ref[0, 0])
-    else:
-        sp_extra = None
+    n_ex = _N_SCORE_EXTRAS.get(score, 0)
+    sp_extra = tuple(r[0, 0] for r in rest[:n_ex]) or None
+    rest = rest[n_ex:]
     if with_shift:
         shift_refs = rest[:heads]
         rest = rest[heads:]
@@ -370,7 +413,7 @@ def _fused_ax_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
     chunk, block_n, nc = plan.chunk, plan.block_n, plan.n_chunks
     if interpret is None:
         interpret = not _on_tpu()
-    sel = jnp.asarray(_head_selector(att, heads, hp))
+    sel = jnp.asarray(_score_selector(score, att, heads, hp))
     valid = jnp.asarray(plan.valid, jnp.float32)
     gmax2 = jnp.reshape(gmax.astype(jnp.float32), (1, 1))
     kb2 = jnp.reshape(kb.astype(jnp.float32), (1, att))
@@ -391,18 +434,16 @@ def _fused_ax_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
         pl.BlockSpec((1, att), lambda i, cr: (0, 0)),        # Q_b
         pl.BlockSpec((d, att), lambda i, cr: (0, 0)),        # K_w
         pl.BlockSpec((1, att), lambda i, cr: (0, 0)),        # K_b
-        pl.BlockSpec((att, hp), lambda i, cr: (0, 0)),       # selector
+        pl.BlockSpec(tuple(sel.shape), lambda i, cr: (0, 0)),  # selector
         pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
                      memory_space=pltpu.SMEM),               # gmax
     ]
     args = [jnp.asarray(plan.chunk_rows), jnp.asarray(plan.row_local),
             valid, x_g, x_n, qw, qb2, kw, kb2, sel, gmax2]
-    if score == "exp_kernel":
-        var, ls = score_params
-        for v in (var, ls):
-            in_specs.append(pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
-                                         memory_space=pltpu.SMEM))
-            args.append(jnp.reshape(v.astype(jnp.float32), (1, 1)))
+    for v in tuple(score_params or ())[:_N_SCORE_EXTRAS.get(score, 0)]:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        args.append(jnp.reshape(v.astype(jnp.float32), (1, 1)))
     if with_shift:
         for sh in shifts:
             assert sh.shape == (cap,)
@@ -463,7 +504,7 @@ def _fused_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
     chunk, block_n, nc = plan.chunk, plan.block_n, plan.n_chunks
     if interpret is None:
         interpret = not _on_tpu()
-    sel = jnp.asarray(_head_selector(att, heads, hp))
+    sel = jnp.asarray(_score_selector(score, att, heads, hp))
     valid = jnp.asarray(plan.valid, jnp.float32)
     gmax2 = jnp.reshape(gmax.astype(jnp.float32), (1, 1))
     kb2 = jnp.reshape(kb.astype(jnp.float32), (1, att))
@@ -484,18 +525,16 @@ def _fused_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax, *,
         pl.BlockSpec((1, att), lambda i, cr: (0, 0)),        # Q_b
         pl.BlockSpec((d, att), lambda i, cr: (0, 0)),        # K_w
         pl.BlockSpec((1, att), lambda i, cr: (0, 0)),        # K_b
-        pl.BlockSpec((att, hp), lambda i, cr: (0, 0)),       # selector
+        pl.BlockSpec(tuple(sel.shape), lambda i, cr: (0, 0)),  # selector
         pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
                      memory_space=pltpu.SMEM),               # gmax
     ]
     args = [jnp.asarray(plan.chunk_rows), jnp.asarray(plan.row_local),
             valid, x_g, x_n, qw, qb2, kw, kb2, sel, gmax2]
-    if score == "exp_kernel":
-        var, ls = score_params
-        for v in (var, ls):
-            in_specs.append(pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
-                                         memory_space=pltpu.SMEM))
-            args.append(jnp.reshape(v.astype(jnp.float32), (1, 1)))
+    for v in tuple(score_params or ())[:_N_SCORE_EXTRAS.get(score, 0)]:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        args.append(jnp.reshape(v.astype(jnp.float32), (1, 1)))
     if with_shift:
         for sh in shifts:
             assert sh.shape == (cap,)
@@ -705,12 +744,9 @@ def _bwd_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref, qb_ref,
                 chunk, block_n, d, att, heads, hp, d_k, square_plus, dtype,
                 with_shift=False, score="scaled_dot", want_dxg=True,
                 separable=False):
-    if score == "exp_kernel":
-        var_ref, ls_ref = rest[:2]
-        rest = rest[2:]
-        sp_extra = (var_ref[0, 0], ls_ref[0, 0])
-    else:
-        sp_extra = None
+    n_ex = _N_SCORE_EXTRAS.get(score, 0)
+    sp_extra = tuple(r[0, 0] for r in rest[:n_ex]) or None
+    rest = rest[n_ex:]
     if with_shift:
         shift_refs = rest[:heads]
         rest = rest[heads:]
@@ -728,7 +764,7 @@ def _bwd_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref, qb_ref,
         dq_ref = rest[0]
         dxg_ref = None
         rest = rest[1:]
-    if score == "exp_kernel":
+    if n_ex:
         dkw_ref, dkb_ref, dgm_ref, dex_ref = rest
     else:
         dkw_ref, dkb_ref, dgm_ref = rest
@@ -827,7 +863,7 @@ def _bwd_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref, qb_ref,
             a, sel_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    dsrc_f, dke, dvar, dls = _kernel_scores_bwd(
+    dsrc_f, dke, dextras = _kernel_scores_bwd(
         ds, src, k_e, sel_ref[:], selT_mm, d_k, score, sp_extra, saux)
     dsrc = dsrc_f.astype(dtype)
 
@@ -841,8 +877,10 @@ def _bwd_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref, qb_ref,
                                    dgm_ref.shape)
     if dex_ref is not None:
         cid = jax.lax.broadcasted_iota(jnp.int32, dex_ref.shape, 1)
-        dex_ref[:] += jnp.where(cid == 0, dvar,
-                                jnp.where(cid == 1, dls, 0.0))
+        val = jnp.zeros(dex_ref.shape, jnp.float32)
+        for ci, dv in enumerate(dextras):
+            val = jnp.where(cid == ci, dv, val)
+        dex_ref[:] += val
     if dxg_ref is not None:
         dxg_ref[:] = dxg_acc + jax.lax.dot_general(
             dke_l, kw_ref[:].astype(dtype), (((1,), (1,)), ((), ())),
@@ -881,7 +919,7 @@ def _fused_bwd_mega_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax,
     chunk, block_n, nc = plan.chunk, plan.block_n, plan.n_chunks
     if interpret is None:
         interpret = not _on_tpu()
-    sel = jnp.asarray(_head_selector(att, heads, hp))
+    sel = jnp.asarray(_score_selector(score, att, heads, hp))
     valid = jnp.asarray(plan.valid, jnp.float32)
     gmax2 = jnp.reshape(gmax.astype(jnp.float32), (1, 1))
     kb2 = jnp.reshape(kb.astype(jnp.float32), (1, att))
@@ -898,7 +936,7 @@ def _fused_bwd_mega_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax,
         pl.BlockSpec((1, att), lambda i, cr: (0, 0)),        # Q_b
         pl.BlockSpec((d, att), lambda i, cr: (0, 0)),        # K_w
         pl.BlockSpec((1, att), lambda i, cr: (0, 0)),        # K_b
-        pl.BlockSpec((att, hp), lambda i, cr: (0, 0)),       # selector
+        pl.BlockSpec(tuple(sel.shape), lambda i, cr: (0, 0)),  # selector
         pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
                      memory_space=pltpu.SMEM),               # gmax
         pl.BlockSpec((block_n, d if separable else heads * d),
@@ -908,12 +946,10 @@ def _fused_bwd_mega_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax,
     args = [jnp.asarray(plan.chunk_rows), jnp.asarray(plan.row_local),
             valid, x_g, x_n, qw, qb2, kw, kb2, sel, gmax2,
             ct_num, ct_den]
-    if score == "exp_kernel":
-        var, ls = score_params
-        for v in (var, ls):
-            in_specs.append(pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
-                                         memory_space=pltpu.SMEM))
-            args.append(jnp.reshape(v.astype(jnp.float32), (1, 1)))
+    for v in tuple(score_params or ())[:_N_SCORE_EXTRAS.get(score, 0)]:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        args.append(jnp.reshape(v.astype(jnp.float32), (1, 1)))
     if with_shift:
         for sh in shifts:
             assert sh.shape == (cap,)
@@ -943,7 +979,7 @@ def _fused_bwd_mega_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax,
         jax.ShapeDtypeStruct((8, att), jnp.float32),
         jax.ShapeDtypeStruct((8, hp), jnp.float32),
     ]
-    if score == "exp_kernel":
+    if _N_SCORE_EXTRAS.get(score, 0):
         out_specs.append(pl.BlockSpec((8, 8), lambda i, cr: (0, 0)))  # dex
         out_shape.append(jax.ShapeDtypeStruct((8, 8), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -978,11 +1014,10 @@ def _fused_bwd_mega_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g, gmax,
     dkb = dkb8[0]
     dgmax = -jnp.sum(dgm8[0, :heads])
     dextra = ()
-    if score == "exp_kernel":
+    if _N_SCORE_EXTRAS.get(score, 0):
         dex = rest_outs[0]
-        var, ls = score_params
-        dextra = (dex[0, 0].astype(var.dtype).reshape(var.shape),
-                  dex[0, 1].astype(ls.dtype).reshape(ls.shape))
+        dextra = tuple(dex[0, ci].astype(v.dtype).reshape(v.shape)
+                       for ci, v in enumerate(score_params))
     return dq, dxg, dkw, dkb, dgmax, dextra
 
 
@@ -1013,12 +1048,9 @@ def _bwd_dx_col_kernel(cr_ref, coll_ref, valid_ref, wg_ref, xt_ref, kw_ref,
                        kb_ref, sel_ref, gmax_ref, *rest, chunk, block_n, d,
                        att, heads, hp, d_k, square_plus, dtype,
                        score="scaled_dot", packed=False):
-    if score == "exp_kernel":
-        var_ref, ls_ref = rest[:2]
-        rest = rest[2:]
-        sp_extra = (var_ref[0, 0], ls_ref[0, 0])
-    else:
-        sp_extra = None
+    n_ex = _N_SCORE_EXTRAS.get(score, 0)
+    sp_extra = tuple(r[0, 0] for r in rest[:n_ex]) or None
+    rest = rest[n_ex:]
     dx_ref, = rest
     i = pl.program_id(0)
     prev = cr_ref[jnp.maximum(i - 1, 0)]
@@ -1091,7 +1123,7 @@ def _bwd_dx_col_kernel(cr_ref, coll_ref, valid_ref, wg_ref, xt_ref, kw_ref,
             a, sel_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    _dsrc, dke, _dv, _dl = _kernel_scores_bwd(
+    _dsrc, dke, _dex = _kernel_scores_bwd(
         ds, src, k_e, sel_ref[:], selT_mm, d_k, score, sp_extra, saux)
     dxg_e = dxg_acc + jax.lax.dot_general(
         dke.astype(dtype), kw_ref[:].astype(dtype),
@@ -1123,7 +1155,7 @@ def _bwd_dx_col_call(plan: StripePlan, w_g, x_n, kw, kb, gmax, *,
     packed = w_g.dtype == jnp.float32 and w_g.shape[1] == 128
     if interpret is None:
         interpret = not _on_tpu()
-    sel = jnp.asarray(_head_selector(att, heads, hp))
+    sel = jnp.asarray(_score_selector(score, att, heads, hp))
     valid = jnp.asarray(cplan.valid, jnp.float32)
     gmax2 = jnp.reshape(gmax.astype(jnp.float32), (1, 1))
     kb2 = jnp.reshape(kb.astype(jnp.float32), (1, att))
@@ -1135,18 +1167,16 @@ def _bwd_dx_col_call(plan: StripePlan, w_g, x_n, kw, kb, gmax, *,
         pl.BlockSpec((block_n, d), lambda i, cr: (cr[i], 0)),  # x rows
         pl.BlockSpec((d, att), lambda i, cr: (0, 0)),          # K_w
         pl.BlockSpec((1, att), lambda i, cr: (0, 0)),          # K_b
-        pl.BlockSpec((att, hp), lambda i, cr: (0, 0)),         # selector
+        pl.BlockSpec(tuple(sel.shape), lambda i, cr: (0, 0)),    # selector
         pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
                      memory_space=pltpu.SMEM),                 # gmax
     ]
     args = [jnp.asarray(cplan.chunk_rows), jnp.asarray(cplan.row_local),
             valid, w_g, x_n, kw, kb2, sel, gmax2]
-    if score == "exp_kernel":
-        var, ls = score_params
-        for v in (var, ls):
-            in_specs.append(pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
-                                         memory_space=pltpu.SMEM))
-            args.append(jnp.reshape(v.astype(jnp.float32), (1, 1)))
+    for v in tuple(score_params or ())[:_N_SCORE_EXTRAS.get(score, 0)]:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        args.append(jnp.reshape(v.astype(jnp.float32), (1, 1)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nc,),
@@ -1322,13 +1352,10 @@ def _bwd_sym_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref,
     from ONE u32 pair-packed gathered table wg (lo bits = ct_ax bf16,
     hi bits = recip|ct_den bf16) — one lane-block gather where the
     round-3 form needed a [cap, H·D] + a [cap, Hp] gather."""
-    if score == "exp_kernel":
-        var_ref, ls_ref = rest[:2]
-        rest = rest[2:]
-        sp_extra = (var_ref[0, 0], ls_ref[0, 0])
-    else:
-        sp_extra = None
-    if score == "exp_kernel":
+    n_ex = _N_SCORE_EXTRAS.get(score, 0)
+    sp_extra = tuple(r[0, 0] for r in rest[:n_ex]) or None
+    rest = rest[n_ex:]
+    if n_ex:
         dq_ref, dxr_ref, dkw_ref, dkb_ref, dgm_ref, dex_ref = rest
     else:
         dq_ref, dxr_ref, dkw_ref, dkb_ref, dgm_ref = rest
@@ -1396,7 +1423,7 @@ def _bwd_sym_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref,
                   preferred_element_type=jnp.float32)[:, :1]
     du = rg * dot + dup
     ds = du * duds
-    dsrc_f, dke, dvar, dls = _kernel_scores_bwd(
+    dsrc_f, dke, dextras = _kernel_scores_bwd(
         ds, src, k_e, sel_ref[:], selT_mm, d_k, score, sp_extra, saux)
     dq_ref[:] += jnp.dot(pt, dsrc_f.astype(dtype),
                          preferred_element_type=jnp.float32)
@@ -1409,8 +1436,10 @@ def _bwd_sym_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref,
                                    dgm_ref.shape)
     if dex_ref is not None:
         cid = jax.lax.broadcasted_iota(jnp.int32, dex_ref.shape, 1)
-        dex_ref[:] += jnp.where(cid == 0, dvar,
-                                jnp.where(cid == 1, dls, 0.0))
+        val = jnp.zeros(dex_ref.shape, jnp.float32)
+        for ci, dv in enumerate(dextras):
+            val = jnp.where(cid == ci, dv, val)
+        dex_ref[:] += val
 
     # ---- REVERSE edges: relocate the x[col] cotangent to row_e -----------
     if packed:
@@ -1446,7 +1475,7 @@ def _bwd_sym_kernel(cr_ref, rowl_ref, valid_ref, xe_ref, xt_ref, qw_ref,
                     preferred_element_type=jnp.float32)[:, :1]
     ds_r = (dot_r * recip_g + ctdg) * duds_r
     dxr_acc = jnp.sum(u_r * recip_g, axis=1, keepdims=True) * ct_ax_g
-    _dsrc_r, dke_r, _dv_r, _dl_r = _kernel_scores_bwd(
+    _dsrc_r, dke_r, _dex_r = _kernel_scores_bwd(
         ds_r, src_rev, k_rev, sel_ref[:], selT_mm, d_k, score, sp_extra,
         saux_r)
     c_rev = dxr_acc + jax.lax.dot_general(
@@ -1481,7 +1510,7 @@ def _fused_bwd_mega_sym_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g,
     chunk, block_n, nc = plan.chunk, plan.block_n, plan.n_chunks
     if interpret is None:
         interpret = not _on_tpu()
-    sel = jnp.asarray(_head_selector(att, heads, hp))
+    sel = jnp.asarray(_score_selector(score, att, heads, hp))
     valid = jnp.asarray(plan.valid, jnp.float32)
     gmax2 = jnp.reshape(gmax.astype(jnp.float32), (1, 1))
     kb2 = jnp.reshape(kb.astype(jnp.float32), (1, att))
@@ -1495,7 +1524,7 @@ def _fused_bwd_mega_sym_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g,
         pl.BlockSpec((1, att), lambda i, cr: (0, 0)),        # Q_b
         pl.BlockSpec((d, att), lambda i, cr: (0, 0)),        # K_w
         pl.BlockSpec((1, att), lambda i, cr: (0, 0)),        # K_b
-        pl.BlockSpec((att, hp), lambda i, cr: (0, 0)),       # selector
+        pl.BlockSpec(tuple(sel.shape), lambda i, cr: (0, 0)),  # selector
         pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
                      memory_space=pltpu.SMEM),               # gmax
         pl.BlockSpec((block_n, d), lambda i, cr: (cr[i], 0)),   # ct_ax
@@ -1506,12 +1535,10 @@ def _fused_bwd_mega_sym_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g,
     args = [jnp.asarray(plan.chunk_rows), jnp.asarray(plan.row_local),
             valid, x_g, x_n, qw, qb2, kw, kb2, sel, gmax2,
             ct_ax, recip_p, ct_den, w_g]
-    if score == "exp_kernel":
-        var, ls = score_params
-        for v in (var, ls):
-            in_specs.append(pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
-                                         memory_space=pltpu.SMEM))
-            args.append(jnp.reshape(v.astype(jnp.float32), (1, 1)))
+    for v in tuple(score_params or ())[:_N_SCORE_EXTRAS.get(score, 0)]:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        args.append(jnp.reshape(v.astype(jnp.float32), (1, 1)))
     out_specs = [
         pl.BlockSpec((block_n, att), lambda i, cr: (cr[i], 0)),  # dq
         pl.BlockSpec((block_n, d), lambda i, cr: (cr[i], 0)),    # dxrow
@@ -1526,7 +1553,7 @@ def _fused_bwd_mega_sym_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g,
         jax.ShapeDtypeStruct((8, att), jnp.float32),
         jax.ShapeDtypeStruct((8, hp), jnp.float32),
     ]
-    if score == "exp_kernel":
+    if _N_SCORE_EXTRAS.get(score, 0):
         out_specs.append(pl.BlockSpec((8, 8), lambda i, cr: (0, 0)))
         out_shape.append(jax.ShapeDtypeStruct((8, 8), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1552,11 +1579,10 @@ def _fused_bwd_mega_sym_call(plan: StripePlan, qw, qb, kw, kb, x_n, x_g,
     dkb = dkb8[0]
     dgmax = -jnp.sum(dgm8[0, :heads])
     dextra = ()
-    if score == "exp_kernel":
+    if _N_SCORE_EXTRAS.get(score, 0):
         dex = outs[5]
-        var, ls = score_params
-        dextra = (dex[0, 0].astype(var.dtype).reshape(var.shape),
-                  dex[0, 1].astype(ls.dtype).reshape(ls.shape))
+        dextra = tuple(dex[0, ci].astype(v.dtype).reshape(v.shape)
+                       for ci, v in enumerate(score_params))
     return dq, dxrow, dkw, dkb, dgmax, dextra
 
 

@@ -98,6 +98,31 @@ class StripePlan:
     def n_chunks(self) -> int:
         return self.chunk_rows.shape[0]
 
+    def layout_equal(self, other: "StripePlan") -> bool:
+        """True when ``other`` has the identical slot layout, so compiled
+        steps traced against this plan stay valid for graphs built against
+        ``other`` (edge CONTENT is traced; only the layout is baked).
+        Plans carrying col-content-dependent structure (col_plan /
+        col_src_slot / symmetric) only compare equal when that structure
+        matches too — rewiring paths build plans without it."""
+        if (self.block_n, self.chunk, self.num_nodes, self.symmetric) != \
+                (other.block_n, other.chunk, other.num_nodes,
+                 other.symmetric):
+            return False
+        if not (np.array_equal(self.row_local, other.row_local)
+                and np.array_equal(self.valid, other.valid)
+                and np.array_equal(self.chunk_rows, other.chunk_rows)
+                and np.array_equal(self.node_degree, other.node_degree)):
+            return False
+        if (self.col_plan is None) != (other.col_plan is None):
+            return False
+        if self.col_plan is not None:
+            if not (self.col_plan.layout_equal(other.col_plan)
+                    and np.array_equal(self.col_src_slot,
+                                       other.col_src_slot)):
+                return False
+        return True
+
     @property
     def capacity(self) -> int:
         return self.row_local.shape[0]

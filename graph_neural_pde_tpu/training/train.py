@@ -178,7 +178,9 @@ class Trainer:
             else TABLEAUS[model.cfg.method].num_stages
             if model.cfg.method in TABLEAUS else 1)
         _, self.reg_coeffs = active_regularizers(model.cfg)
-        self._eval_step = jax.jit(self._eval_step_impl)
+        # eval steps are re-jitted when the stripe plan is rebuilt (the
+        # rewiring hook) — same staleness discipline as _train_step
+        self._eval_cache = {}
         # epoch-invariant operands (x/pos/y/mask) are baked into the
         # compiled step as CONSTANTS, not traced arguments — measured at
         # ogbn-arxiv bench scale the identical remat train step runs
@@ -194,7 +196,14 @@ class Trainer:
 
     def _train_step(self, params, state, opt_state, x, pos, y, train_mask,
                     rng, graph=None):
-        key = (id(x), id(pos), id(y), id(train_mask))
+        # keyed ALSO by the stripe plan's identity: the plan's slot layout
+        # is baked into the traced step as constants, and a rewiring hook
+        # that rebuilds the plan (GNNKNNModel.rewire) must retrace —
+        # reusing a stale executable against a re-planned graph would be
+        # silently wrong. layout-equal rebuilds keep the old plan OBJECT,
+        # so only a genuinely new layout (the first kNN rewire) retraces.
+        plan_tok = id(getattr(self.model, "stripe_plan", None))
+        key = (id(x), id(pos), id(y), id(train_mask), plan_tok)
         entry = self._step_cache.get(key)
         if entry is None:
             def impl(params, state, opt_state, rng, graph=None):
@@ -204,7 +213,9 @@ class Trainer:
 
             if len(self._step_cache) >= 4:      # bound executable count
                 self._step_cache.pop(next(iter(self._step_cache)))
-            entry = (jax.jit(impl), (x, pos, y, train_mask))
+            entry = (jax.jit(impl), (x, pos, y, train_mask,
+                                     getattr(self.model, "stripe_plan",
+                                             None)))
             self._step_cache[key] = entry
         fn = entry[0]
         if graph is None:
@@ -254,6 +265,16 @@ class Trainer:
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, new_state, opt_state, loss, stats
+
+    def _eval_step(self, *args, **kwargs):
+        plan = getattr(self.model, "stripe_plan", None)
+        entry = self._eval_cache.get(id(plan))
+        if entry is None:
+            if len(self._eval_cache) >= 4:
+                self._eval_cache.pop(next(iter(self._eval_cache)))
+            entry = (jax.jit(self._eval_step_impl), plan)
+            self._eval_cache[id(plan)] = entry
+        return entry[0](*args, **kwargs)
 
     def _eval_step_impl(self, params, state, x, pos, y, masks, graph=None):
         if self.cfg.use_labels:

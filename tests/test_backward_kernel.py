@@ -253,6 +253,68 @@ class TestMegaBackward:
         scale = float(jnp.abs(out_r).max()) + 1e-6
         assert float(jnp.abs(out_f - out_r).max()) / scale < 5e-2
 
+    @pytest.mark.parametrize("symmetric", [True, False])
+    def test_rhs_beltrami_exp_kernel_fused(self, rng, symmetric):
+        """Round-4: the BLEND split-space exp_kernel rides the one-pass
+        kernel (score 'exp_kernel_beltrami' over packed (Qx‖Qp)/(Kx‖Kp)
+        projections with the block-diagonal selector) — forward AND
+        end-to-end gradients vs the XLA composition, on both the symmetric
+        (sym backward) and directed (col-plan backward) engines.
+        Ref: function_transformer_attention.py:133-171."""
+        from graph_neural_pde_tpu.config import Config
+        from graph_neural_pde_tpu.data.synthetic import make_sbm_dataset
+        from graph_neural_pde_tpu.models.blocks import (
+            build_stripe_engine, init_block, prepare_graph)
+        from graph_neural_pde_tpu.models.functions import FuncAux, make_rhs
+        from graph_neural_pde_tpu.ops.graph import make_graph
+
+        fh, ph = 6, 4
+        in_dim = fh + ph
+        cfg = Config(block="constant", function="transformer",
+                     attention_type="exp_kernel", beltrami=True,
+                     feat_hidden_dim=fh, pos_enc_hidden_dim=ph,
+                     heads=2, attention_dim=8, hidden_dim=in_dim,
+                     add_source=True, stripe_fused=True, stripe_block_n=8,
+                     stripe_chunk=16, stripe_chunk_auto=False)
+        if symmetric:
+            ds = make_sbm_dataset(num_nodes=40, num_classes=3,
+                                  num_features=8, seed=5)
+            g = prepare_graph(cfg, ds.graph)
+        else:
+            g0 = make_graph(rng.integers(0, 40, 200).astype(np.int32),
+                            rng.integers(0, 40, 200).astype(np.int32),
+                            None, num_nodes=40)
+            g = prepare_graph(cfg.replace(self_loop_weight=0.0), g0)
+        g2, plan = build_stripe_engine(cfg, g)
+        assert plan is not None and plan.symmetric == symmetric
+        params = init_block(jax.random.PRNGKey(0), cfg, in_dim)["func"]
+        params = jax.tree_util.tree_map(
+            lambda p: p + 0.1 * jax.random.normal(
+                jax.random.PRNGKey(1), p.shape), params)
+        x = jnp.asarray(rng.normal(size=(g2.num_nodes, in_dim)),
+                        jnp.float32)
+        aux = FuncAux(attention=None, x0=x, edge_weight=g2.weight)
+        rhs_fast = make_rhs(cfg, g2, stripe_plan=plan)
+        rhs_ref = make_rhs(cfg.replace(stripe_fused=False), g2)
+        out_f = rhs_fast(params, aux, 0.0, x)
+        out_r = rhs_ref(params, aux, 0.0, x)
+        scale = float(jnp.abs(out_r).max()) + 1e-6
+        assert float(jnp.abs(out_f - out_r).max()) / scale < 5e-2
+
+        def loss(rhs):
+            def f(p, xx):
+                out = rhs(p, aux, 0.0, xx)
+                return jnp.sum(out * jnp.cos(jnp.arange(out.size)
+                                             .reshape(out.shape) * 0.1))
+            return f
+
+        gf = jax.grad(loss(rhs_fast), argnums=(0, 1))(params, x)
+        gr = jax.grad(loss(rhs_ref), argnums=(0, 1))(params, x)
+        flat_f, _ = jax.flatten_util.ravel_pytree(gf)
+        flat_r, _ = jax.flatten_util.ravel_pytree(gr)
+        gscale = float(jnp.abs(flat_r).max()) + 1e-6
+        assert float(jnp.abs(flat_f - flat_r).max()) / gscale < 5e-2
+
     @pytest.mark.parametrize("score", ["scaled_dot", "exp_kernel"])
     def test_rhs_gradient_sym_backward(self, rng, score):
         """Opt-in symmetric backward (reverse-edge relocation,
