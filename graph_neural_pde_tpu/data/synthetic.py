@@ -36,12 +36,19 @@ class NodeDataset:
 
 def make_sbm_dataset(num_nodes=120, num_classes=3, num_features=16,
                      avg_degree=8, homophily=0.85, train_per_class=20,
-                     num_val=30, seed=0, edge_pad_multiple=64) -> NodeDataset:
+                     num_val=30, seed=0, edge_pad_multiple=64,
+                     feature_signal=2.0) -> NodeDataset:
+    """``feature_signal`` scales the class-mean separation relative to the
+    unit feature noise. The default (2.0) makes classes nearly linearly
+    separable — right for fast unit tests; the reproduction stand-ins pass
+    a small value so tuned configs land at ~0.7-0.9 test accuracy and a
+    modelling error actually moves the number (VERDICT r3 #4b)."""
     rng = np.random.default_rng(seed)
     y = rng.integers(0, num_classes, size=num_nodes)
 
     # class-mean features + noise
-    means = rng.normal(scale=2.0, size=(num_classes, num_features))
+    means = rng.normal(scale=feature_signal,
+                       size=(num_classes, num_features))
     x = means[y] + rng.normal(size=(num_nodes, num_features))
 
     # SBM edges: sample pairs, keep intra-class with prob homophily

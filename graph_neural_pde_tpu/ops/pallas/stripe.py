@@ -682,8 +682,11 @@ def make_traced_scatter_add(block_n: int, chunk: int, num_nodes: int,
             ],
             out_specs=pl.BlockSpec((block_n, d), lambda i, cr_: (cr_[i], 0)),
         )
+        # the one-hot/vals MXU dtype follows the caller's payload choice:
+        # f32 payloads keep the whole scatter f32-exact (the sharded-spmm
+        # oracle checks at 1e-3 relative), bf16 payloads keep the fast path
         kernel = functools.partial(_scatter_kernel, chunk=chunk,
-                                   block_n=block_n, dtype=jnp.bfloat16)
+                                   block_n=block_n, dtype=vals_dtype)
         return pl.pallas_call(
             kernel, grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((num_nodes, d), jnp.float32),
@@ -704,7 +707,7 @@ def make_traced_scatter_add(block_n: int, chunk: int, num_nodes: int,
             out_specs=pl.BlockSpec((chunk, d), lambda i, cr_: (i, 0)),
         )
         kernel = functools.partial(_gather_kernel, chunk=chunk,
-                                   block_n=block_n, dtype=jnp.bfloat16)
+                                   block_n=block_n, dtype=vals_dtype)
         return pl.pallas_call(
             kernel, grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nc * chunk, d), jnp.float32),

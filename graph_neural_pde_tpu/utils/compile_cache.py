@@ -32,6 +32,17 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
     global _ENABLED
     if os.environ.get("GNPDE_NO_COMPILE_CACHE"):
         return None
+    import jax as _jax
+    try:
+        if _jax.default_backend() != "tpu":
+            # CPU executables are AOT-compiled against exact host machine
+            # features; reloading them on a different host (or across
+            # container images) logs "+prefer-no-scatter is not supported
+            # ... could lead to SIGILL". The cache's value is the 2-5 min
+            # TPU train-step compile, so it is TPU-only.
+            return None
+    except Exception:
+        return None
     cache_dir = (cache_dir
                  or os.environ.get("GNPDE_COMPILE_CACHE_DIR")
                  or os.path.join(os.path.expanduser("~"), ".cache",
