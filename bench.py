@@ -33,16 +33,24 @@ modes): 13-14M (round 2) → 21.6M (backward mega-kernel + col-plan dx
 scatter) → 40.4M (col-plan backward recompute kernel — the per-edge
 cotangent never exists in HBM — plus constant-folded epoch-invariant
 training data; 993 ms/step at 16 fwd NFE) → 45.7M (separable-cotangent
-mega/col kernels + u32 pair-packed backward table; 876 ms/step). The
-measured floor is the gather's per-row issue
-rate: 2.15 ns/row on v5e, independent of width (32-128), dtype (bf16/f32)
-and index locality (even fully sorted) — ~500M edge·NFE/s absolute
-single-chip bound at this scale with zero compute. The levers past it are
-the edge-sharded multi-chip design (issue-rate-bound work scales linearly
-with chips; see parallel/shard_spmm.make_sharded_stripe_spmm) and the
-Chebyshev expm solver reported as the secondary metric (exact solve of
-every tuned — linear — config at ~⌈1.4T⌉+30 matvecs instead of hundreds of
-NFE).
+mega/col kernels + u32 pair-packed backward table; 876 ms/step). Round 4:
+~49.5M (the symmetric backward rewritten separable/packed — one row-plan
+kernel + ONE u32 pair-packed gather, default on symmetric plans — plus
+MXU ones-matmul lane reductions; 809 ms/step), and the folded epilogue is
+the default headline engine. The measured floor is the gather's per-row
+issue rate: ~2.2 ns/row on v5e (5.95 ms/eval in a carry-dependent chain,
+probe13b), independent of width (32-128), dtype (bf16/f32) and index
+locality (even fully sorted) — ~500M edge·NFE/s absolute single-chip
+bound at this scale with zero compute. Probe13 (round 4) closes the
+overlap question: Mosaic's dynamic_gather is an 8-row sublane shuffle
+(no in-VMEM gather path), the gather+kernel composition measures SERIAL
+(9.72 ms vs serial-sum 10.64, full-overlap 5.95), and a 2-way split
+pipeline is 2× worse — the levers past the floor are the edge-sharded
+multi-chip design (issue-rate-bound work scales linearly with chips;
+measured comm model in __graft_entry__: 2 fused tuple all-reduces per
+eval, payload independent of edge count) and the Chebyshev expm solver
+reported as the secondary metric (exact solve of every tuned — linear —
+config at ~⌈1.4T⌉+30 matvecs instead of hundreds of NFE).
 
 Before timing, every Mosaic kernel is verified against an on-device oracle
 (verify_kernels_on_device). Prints ONE JSON line to stdout.

@@ -11,10 +11,20 @@ XLA's gather and the serial composition is a hardware fact.
 
 Measures, on the real chip:
   A. XLA gather baseline: x[N,128] bf16 table, [E] random idx.
-  B. Pallas kernel: VMEM table [T,128], per-grid-step idx chunk [C],
-     out[e] = table[idx[e]] via jnp.take — timed per row.
-  C. Same with a one-hot matmul expansion (MXU route) for small T.
-"""
+  B. Mosaic dynamic_gather: VMEM table [T,128] — Mosaic's only gather
+     lowering (take_along_axis with table-shaped indices).
+  C. One-hot matmul expansion (MXU route) for small tables.
+
+FINDINGS (v5e, round 4): A = 3.1-3.3 ns/row standalone (5.95 ms for the
+bench-shape gather inside a carry-dependent chain, probe13b). B compiles
+ONLY at T=8 (one f32 vreg — an in-register sublane shuffle); T>=64
+faults the remote Mosaic compiler — there is NO in-VMEM table-gather on
+this toolchain, so the two-level (row-stripe × col-block) plan that
+would dodge the HBM gather cannot be built. C works but costs
+chunk·T·D MXU MACs — at T=512 that is ~2 ns/row-equivalent, no better
+than the XLA gather, and T is capped by VMEM. Conclusion: the per-eval
+x[col] gather is irreducible on one core (see probe13b for the
+no-overlap measurement)."""
 import time
 import numpy as np
 import jax
@@ -52,44 +62,36 @@ def xla_gather_baseline(n=169_343, e=2_703_360, d=128, dtype=jnp.bfloat16):
     return dt
 
 
-def pallas_take_kernel(t_rows, chunk, d=128, dtype=jnp.bfloat16,
-                       n_chunks=330):
-    """out[c] = table[idx[c]] with table fully VMEM-resident."""
+def pallas_take_kernel(t_rows, d=128):
+    """out[i] = tab[idx[i]] via tpu.dynamic_gather (jnp.take_along_axis
+    with indices broadcast to the table shape — Mosaic's only gather
+    lowering; constraint: out shape == table shape).
+
+    FINDING: works for t_rows == 8 (one f32 vreg's sublanes — an
+    in-register shuffle) and FAULTS the Mosaic compiler (remote_compile
+    HTTP 500) for t_rows >= 64. There is no in-VMEM table-gather path on
+    this hardware/toolchain; the x[col] gather must stay an XLA HBM
+    gather at its ~2 ns/row issue rate."""
     rng = np.random.default_rng(1)
-    tab = jnp.asarray(rng.normal(size=(t_rows, d)), dtype)
-    idx = jnp.asarray(rng.integers(0, t_rows, (n_chunks, 8, chunk // 8)),
+    tab = jnp.asarray(rng.normal(size=(t_rows, d)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, t_rows, (8, max(1, t_rows // 8))),
                       jnp.int32)
 
     def kernel(tab_ref, idx_ref, out_ref):
-        out_ref[:] = jnp.take_along_axis(
-            tab_ref[:], idx_ref[0].reshape(chunk)[:, None], axis=0)
+        ids = idx_ref[:].reshape(t_rows)
+        full = jnp.broadcast_to(ids[:, None], (t_rows, d))
+        out_ref[:] = jnp.take_along_axis(tab_ref[:], full, axis=0)
 
-    @jax.jit
-    def f(tab, idx):
-        return pl.pallas_call(
-            kernel,
-            grid=(n_chunks,),
-            in_specs=[
-                pl.BlockSpec((t_rows, d), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 8, chunk // 8), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((chunk, d), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_chunks * chunk, d), dtype),
-        )(tab, idx)
-
-    rows = n_chunks * chunk
-    dt = time_fn(f, tab, idx)
-    # correctness spot check
-    got = np.asarray(f(tab, idx)[:chunk], np.float32)
-    want = np.asarray(tab, np.float32)[np.asarray(idx[0]).reshape(chunk)]
-    ok = np.allclose(got, want, atol=1e-2, rtol=1e-2)
-    print(f"B. pallas take   tab[{t_rows},{d}] {dtype.__name__}, "
-          f"{n_chunks}x{chunk} rows: {dt*1e3:.2f} ms = "
-          f"{dt/rows*1e9:.2f} ns/row  correct={ok}")
-    return dt
+    f = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_rows, d), jnp.float32))
+    out = f(tab, idx)
+    want = np.asarray(tab)[np.asarray(idx).reshape(t_rows)]
+    ok = np.allclose(np.asarray(out), want, atol=1e-5)
+    print(f"B. dynamic_gather tab[{t_rows},{d}]: correct={ok}")
 
 
 def pallas_onehot_kernel(t_rows, chunk, d=128, n_chunks=330):
@@ -136,15 +138,15 @@ def pallas_onehot_kernel(t_rows, chunk, d=128, n_chunks=330):
 if __name__ == "__main__":
     print(f"devices: {jax.devices()}")
     xla_gather_baseline()
-    for t_rows in (2048, 8192, 32768):
+    for t_rows in (8, 64, 512):
         try:
-            pallas_take_kernel(t_rows, chunk=8192)
+            pallas_take_kernel(t_rows)
         except Exception as ex:
-            print(f"B. pallas take tab[{t_rows}] FAILED: "
-                  f"{type(ex).__name__}: {str(ex)[:300]}")
-    for t_rows in (512, 2048):
+            print(f"B. dynamic_gather tab[{t_rows}] FAULTS the Mosaic "
+                  f"compiler: {type(ex).__name__}: {str(ex)[:120]}")
+    for t_rows in (512,):
         try:
-            pallas_onehot_kernel(t_rows, chunk=2048, n_chunks=1320)
+            pallas_onehot_kernel(t_rows, chunk=1024, n_chunks=2640)
         except Exception as ex:
             print(f"C. onehot tab[{t_rows}] FAILED: "
                   f"{type(ex).__name__}: {str(ex)[:300]}")
