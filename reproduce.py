@@ -335,6 +335,9 @@ def main():
         if args.solver_consistency:
             results.append(solver_consistency(name, args.data_dir, args.reps,
                                               args.epochs))
+        # incremental dump: a wall-clock-killed run keeps its finished rows
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
 
     print("\n| dataset | data | test acc (mean ± sem, 95% CI) | val acc |")
     print("|---|---|---|---|")
