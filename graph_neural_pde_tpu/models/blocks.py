@@ -97,9 +97,16 @@ def build_stripe_engine(cfg: Config, g: Graph):
     attention_norm_idx 0) or the function is the linear laplacian (whose
     spmm routes through make_stripe_spmm); node count pads to block_n
     (callers pad x)."""
+    from graph_neural_pde_tpu.models.functions import norm1_fused_ok
     fused_att = (cfg.fused_attention_agg
                  and cfg.function in ("transformer", "GAT")
-                 and not cfg.mix_features and cfg.attention_norm_idx == 0)
+                 and not cfg.mix_features
+                 and (cfg.attention_norm_idx == 0
+                      # norm_idx=1: the transformer mirror-trick engine
+                      # (fused_rhs.make_fused_ax_norm1); needs the plan's
+                      # symmetry bit, so rewire_KNN configs (which skip it)
+                      # fall back to the composition in make_rhs
+                      or (norm1_fused_ok(cfg) and not cfg.rewire_KNN)))
     lap = (cfg.function == "laplacian"
            and cfg.spmm_impl != "pallas_blocked")   # blocked engine owns it
     enabled = cfg.stripe_fused

@@ -32,6 +32,25 @@ from graph_neural_pde_tpu.ops.graph import Graph
 from graph_neural_pde_tpu.ops.spmm import spmm, spmm_multihead
 
 
+# score families the one-pass Mosaic kernels compute in-kernel
+# (function_transformer_attention.py:193-206)
+FUSED_MEGA_SCORES = ("scaled_dot", "cosine_sim", "pearson", "exp_kernel")
+
+
+def norm1_fused_ok(cfg: Config) -> bool:
+    """True when the column-normalised (attention_norm_idx=1) transformer
+    RHS can ride the fused mirror-trick engine (fused_rhs.make_fused_ax_norm1)
+    — still subject to the runtime checks: a SYMMETRIC stripe plan and
+    state dim <= 128."""
+    return (cfg.fused_attention_agg and not cfg.mix_features
+            and cfg.attention_norm_idx == 1
+            and cfg.function == "transformer"
+            and cfg.attention_type in FUSED_MEGA_SCORES
+            and not cfg.square_plus
+            and not cfg.reweight_attention
+            and cfg.rhs_payload_dtype == "bfloat16")
+
+
 class FuncAux(NamedTuple):
     """Per-solve constants threaded through the solver's params pytree so the
     custom-VJP solvers can propagate gradients into them.
@@ -179,6 +198,27 @@ def _transformer_rhs_fused(fparams, aux: FuncAux, t, x, cfg: Config,
         elif score == "exp_kernel":
             score_params = (ap["output_var"].reshape(()),
                             ap["lengthscale"].reshape(()))
+        if cfg.attention_norm_idx == 1:
+            # column-normalised softmax (norm_idx=1): the mirror-trick
+            # engine — den_col from a reverse-score row-plan pass, recip
+            # riding the u32-packed x|recip gather (make_fused_ax_norm1).
+            # Gated by make_rhs: symmetric plan, mega score family,
+            # softmax, bf16 payload, D <= 128.
+            from graph_neural_pde_tpu.ops.pallas.fused_rhs import (
+                make_fused_ax_norm1)
+            op = make_fused_ax_norm1(stripe_plan, h, False, score, g.col)
+            gmax = jnp.zeros((), jnp.float32)
+            ax, den = op(ap["Q"]["w"], ap["Q"]["b"], ap["K"]["w"],
+                         ap["K"]["b"], x, gmax, score_params)
+            den_h = den[:, :h]
+            deg = jnp.asarray(stripe_plan.node_degree)
+            # symmetric edge set: in-degree == out-degree, so the row
+            # degrees guard the COLUMN denominators
+            bad = jnp.any(((den_h <= 0.0) & (deg[:, None] > 0))
+                          | ~jnp.isfinite(den_h))
+            ax = jnp.where(bad, jnp.asarray(jnp.nan, ax.dtype), ax)
+            f = _alpha(cfg, fparams) * (ax - x)
+            return _source(cfg, fparams, f, aux)
         if eval_fold and not exact_softmax:
             # eval/no-grad solve: the whole f = alpha·(ax − x) epilogue +
             # per-row guard folds into the kernel's final write — the
@@ -431,10 +471,13 @@ def rhs_may_poison(cfg: Config) -> bool:
     """True when make_rhs's default path can NaN-poison its output on
     softmax under/overflow — i.e. the caller must re-solve with
     make_rhs(..., exact_softmax=True) if the solved state is non-finite."""
-    fused = (cfg.fused_attention_agg and not cfg.mix_features
-             and cfg.attention_norm_idx == 0)
-    return (cfg.function in ("transformer", "GAT") and fused
-            and not cfg.square_plus)
+    fused0 = (cfg.fused_attention_agg and not cfg.mix_features
+              and cfg.attention_norm_idx == 0)
+    if cfg.function in ("transformer", "GAT") and fused0:
+        return not cfg.square_plus
+    # norm_idx=1 transformer mega path (may be plan-gated off at runtime —
+    # then the exact composition runs and the poison cond never fires)
+    return norm1_fused_ok(cfg)
 
 
 def make_rhs(cfg: Config, g: Graph, spmm_fn: Optional[Callable] = None,
@@ -475,9 +518,16 @@ def make_rhs(cfg: Config, g: Graph, spmm_fn: Optional[Callable] = None,
     if cfg.function == "transformer":
         use_fused = (cfg.fused_attention_agg and not cfg.mix_features
                      and cfg.attention_norm_idx == 0)
+        # norm_idx=1 rides the fused mirror-trick engine only on a symmetric
+        # stripe plan with the fast (non-exact) softmax; the exact re-solve
+        # and every other norm1 config take the composition below, whose
+        # segment softmax normalises over g.col (models/attention.py).
+        use_fused1 = (norm1_fused_ok(cfg) and not exact_softmax
+                      and stripe_plan is not None
+                      and getattr(stripe_plan, "symmetric", False))
 
         def rhs(fparams, aux: FuncAux, t, x):
-            if use_fused:
+            if use_fused or (use_fused1 and x.shape[1] <= 128):
                 return _transformer_rhs_fused(fparams, aux, t, x, cfg, g,
                                               stripe_plan, exact_softmax,
                                               eval_fold)

@@ -1961,3 +1961,654 @@ def _ax_bwd(plan, heads, square_plus, score, res, cts):
 
 
 fused_rhs_ax.defvjp(_ax_fwd, _ax_bwd)
+
+
+# ---------------------------------------------------------------------------
+# norm_idx=1 (column-normalised softmax): the mirror-trick engine
+# ---------------------------------------------------------------------------
+# The reference normalises attention over edge_index[attention_norm_idx]
+# (function_transformer_attention.py:210-213); norm_idx=1 groups the softmax
+# by COLUMN while the aggregation still reduces by ROW, so the fused norm0
+# trick (denominators share the aggregation scatter) does not apply. For the
+# SYMMETRIC edge multisets the reference trains on (to_undirected,
+# data.py:90-94) the column denominators are nonetheless reachable from the
+# row plan: edges INTO node n are exactly the reverses of node n's row-plan
+# edges, so
+#
+#     den_col[n, h] = Σ_{e: col_e=n} u_eh
+#                   = Σ_{row-plan edges (n,c)} f(S(q[c], k[n]) − gmax)
+#
+# — a row-plan pass computing the REVERSE-edge scores (q[c] = x_e @ Q from
+# the already-gathered payload, k[n] from the resident block rows). The
+# aggregation pass then needs recip = 1/den_col at each edge's COLUMN
+# endpoint; an extra [cap]-row gather would cost the full per-row issue rate
+# (~2.2 ns/row), so recip rides the one existing payload gather instead:
+# the x|recip pack stores x's columns as bf16 pairs in u32 lanes 0..63 and
+# the per-head recip f32 raw in lanes 64..64+Hp ("u32-packed x|recip
+# gather"). Decoding the pairs emits x's columns in even-then-odd order, so
+# every node-side operand enters these kernels pre-permuted to that order
+# (x_E = x @ Pm, Q_E = Pmᵀ Q, ...; _norm1_perm) and the outputs are
+# un-permuted by the same constant matmul — no in-kernel lane shuffles.
+#
+# Backward (hand-derived, verified against jax.grad of the composition in
+# tests/test_norm1_fused.py): with A = ct_ax/H, a_e = u_e·recip[c_e],
+# ct_a_e = ⟨A[r_e], x[c_e]⟩,
+#   ct_den[n]  = −recip[n]²/H · Σ_{e: col_e=n} u_e·⟨ct[r_e], x[n]⟩   (pass B1,
+#                mirror again: u_rev·⟨ct_g, x_resident⟩ in the row plan)
+#   ct_s_e     = (⟨ct[r_e], x[c_e]⟩·recip[c_e]/H + ct_den[c_e])·f'(s_e)
+#   dx         = payload Σ a_e·A[r_e] at col (relocated to reverse edges)
+#                + dke@Kᵀ at col (relocated) + dq@Qᵀ at row
+# Pass B2 is the norm-1 twin of _bwd_sym_kernel with the resident/gathered
+# roles of (recip, ct_den) swapped: the forward side reads them per edge
+# (recip from the x|recip pack, ct_den from a narrow [cap, Hp] gather), the
+# reverse side reads them as resident node rows.
+
+
+def _norm1_perm(dpad: int = 128) -> np.ndarray:
+    """[dpad, dpad] 0/1 matrix mapping natural column order to the pair-
+    decode order (even columns then odd): x_E = x_pad @ Pm."""
+    e = np.concatenate([np.arange(0, dpad, 2), np.arange(1, dpad, 2)])
+    pm = np.zeros((dpad, dpad), np.float32)
+    pm[e, np.arange(dpad)] = 1.0
+    return pm
+
+
+def _pack_pairs64(a: jax.Array, width: int = 64) -> jax.Array:
+    """bf16 pair-pack the columns of ``a`` [N, D<=2*width] f32 into
+    [N, width] f32-bitcast u32 lanes: lane j = (a[:,2j] | a[:,2j+1]<<16).
+    Shipped as f32 bits — a u32 array through barrier + gather + the
+    adjoint while_loop stalls the TPU compiler (see _bwd_dx_col_kernel)."""
+    n, d = a.shape
+    if d % 2:
+        a = jnp.concatenate([a, jnp.zeros((n, 1), a.dtype)], axis=1)
+    rnd = jnp.uint32(0x8000)
+    af = a.astype(jnp.float32)
+    lo = (jax.lax.bitcast_convert_type(af[:, 0::2], jnp.uint32) + rnd) >> 16
+    hi = ((jax.lax.bitcast_convert_type(af[:, 1::2], jnp.uint32) + rnd)
+          & jnp.uint32(0xFFFF0000))
+    w = hi | lo
+    pairs = w.shape[1]
+    if pairs < width:
+        w = jnp.concatenate(
+            [w, jnp.zeros((n, width - pairs), jnp.uint32)], axis=1)
+    return jax.lax.bitcast_convert_type(w, jnp.float32)
+
+
+def _pack_x_recip(x: jax.Array, recip, hp: int) -> jax.Array:
+    """[N, 128] f32 gather table: lanes 0..63 = bf16 pairs of x's columns,
+    lanes 64..64+hp = per-head recip f32 RAW (zeros when recip is None)."""
+    n = x.shape[0]
+    w = _pack_pairs64(x)
+    if recip is None:
+        r = jnp.zeros((n, 64), jnp.float32)
+    else:
+        r = recip.astype(jnp.float32)
+        if r.shape[1] < 64:
+            r = jnp.concatenate(
+                [r, jnp.zeros((n, 64 - r.shape[1]), jnp.float32)], axis=1)
+    return jnp.concatenate([w, r], axis=1)
+
+
+def _decode_pairs(w_f32: jax.Array) -> jax.Array:
+    """[chunk, W] f32-bitcast pair lanes -> [chunk, 2W] f32 in even-then-odd
+    (E) column order."""
+    w_u = jax.lax.bitcast_convert_type(w_f32, jnp.uint32)
+    lo = jax.lax.bitcast_convert_type(w_u << 16, jnp.float32)
+    hi = jax.lax.bitcast_convert_type(w_u & jnp.uint32(0xFFFF0000),
+                                      jnp.float32)
+    return jnp.concatenate([lo, hi], axis=1)
+
+
+def _norm1_u_duds(sm, vmask, square_plus):
+    if square_plus:
+        r = jnp.sqrt(sm * sm + 4.0)
+        return (sm + r) * 0.5 * vmask, (1.0 + sm / r) * 0.5 * vmask
+    u = jnp.exp(sm)
+    return u * vmask, u * vmask
+
+
+def _norm1_rev_kernel(cr_ref, rowl_ref, valid_ref, wg_ref, xt_ref, qw_ref,
+                      qb_ref, kw_ref, kb_ref, sel_ref, gmax_ref, *rest,
+                      chunk, block_n, att, heads, hp, d_k, square_plus,
+                      dtype, score, with_ct):
+    """Reverse-edge row-plan reduction: out[n, h] = Σ_{row edges (n,c)}
+    u(S(q[c], k[n])) [· ⟨ct[c], x[n]⟩ when with_ct] — the column
+    denominators (den_col) respectively the ct_den numerators (pass B1)."""
+    n_ex = _N_SCORE_EXTRAS.get(score, 0)
+    sp_extra = tuple(r[0, 0] for r in rest[:n_ex]) or None
+    rest = rest[n_ex:]
+    if with_ct:
+        ctg_ref = rest[0]
+        rest = rest[1:]
+    out_ref, = rest
+    i = pl.program_id(0)
+    prev = cr_ref[jnp.maximum(i - 1, 0)]
+
+    @pl.when((i == 0) | (cr_ref[i] != prev))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    rowl = rowl_ref[:]
+    xe = _decode_pairs(wg_ref[:][:, :64]).astype(dtype)      # x[col], E order
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (block_n, chunk), 0)
+    pt = (rowl[None, :] == iota_n).astype(dtype)
+    dims0 = (((0,), (0,)), ((), ()))
+    xt_l = xt_ref[:].astype(dtype)
+    # reverse-edge operands: q at the gathered endpoint, k at the resident
+    src_rev = (jnp.dot(xe, qw_ref[:].astype(dtype),
+                       preferred_element_type=jnp.float32) + qb_ref[:])
+    k_blk = (jnp.dot(xt_l, kw_ref[:].astype(dtype),
+                     preferred_element_type=jnp.float32)
+             + kb_ref[:]).astype(dtype)
+    k_rev = jax.lax.dot_general(pt, k_blk, dims0,
+                                preferred_element_type=jnp.float32)
+    s_r, _aux = _kernel_scores(src_rev, k_rev, sel_ref[:], d_k, score,
+                               sp_extra, dtype)
+    hmask = (jax.lax.broadcasted_iota(jnp.int32, (1, hp), 1) < heads)
+    vmask = hmask.astype(jnp.float32) * valid_ref[:][:, None]
+    u, _duds = _norm1_u_duds(s_r - gmax_ref[0, 0], vmask, square_plus)
+    if with_ct:
+        ct_g = _decode_pairs(ctg_ref[:])                     # [chunk, 128]
+        xe_rev = jax.lax.dot_general(pt, xt_l, dims0,
+                                     preferred_element_type=jnp.float32)
+        dot_r = jnp.dot((ct_g * xe_rev).astype(dtype),
+                        jnp.ones((ct_g.shape[1], 8), dtype),
+                        preferred_element_type=jnp.float32)[:, :1]
+        u = u * dot_r
+    out_ref[:] += jnp.dot(pt, u.astype(dtype),
+                          preferred_element_type=jnp.float32)
+
+
+def _norm1_rev_call(plan: StripePlan, qw, qb, kw, kb, x_e128, xg_pack, gmax,
+                    *, heads: int, square_plus: bool, score: str,
+                    score_params=(), ct_g=None, dtype=jnp.bfloat16,
+                    interpret: bool | None = None):
+    """out [N, Hp]: den_col (ct_g=None) or the B1 ct_den numerators.
+
+    x_e128: [N, 128] node states in pair-decode (E) column order; xg_pack:
+    the [cap, 128] x|recip pack per plan slot; qw/kw: [128, ATT] E-row
+    projections; ct_g: optional [cap, 64] bf16 pair pack of the output
+    cotangent (E order)."""
+    att = qw.shape[1]
+    hp = max(8, heads)
+    d_k = att // heads
+    chunk, block_n, nc = plan.chunk, plan.block_n, plan.n_chunks
+    if interpret is None:
+        interpret = not _on_tpu()
+    sel = jnp.asarray(_score_selector(score, att, heads, hp))
+    valid = jnp.asarray(plan.valid, jnp.float32)
+    gmax2 = jnp.reshape(gmax.astype(jnp.float32), (1, 1))
+    kb2 = jnp.reshape(kb.astype(jnp.float32), (1, att))
+    qb2 = jnp.reshape(qb.astype(jnp.float32), (1, att))
+    in_specs = [
+        pl.BlockSpec((chunk,), lambda i, cr: (i,)),            # rowl
+        pl.BlockSpec((chunk,), lambda i, cr: (i,)),            # valid
+        pl.BlockSpec((chunk, 128), lambda i, cr: (i, 0)),      # x|recip pack
+        pl.BlockSpec((block_n, 128), lambda i, cr: (cr[i], 0)),  # x_E rows
+        pl.BlockSpec((128, att), lambda i, cr: (0, 0)),        # Q_E
+        pl.BlockSpec((1, att), lambda i, cr: (0, 0)),          # Q_b
+        pl.BlockSpec((128, att), lambda i, cr: (0, 0)),        # K_E
+        pl.BlockSpec((1, att), lambda i, cr: (0, 0)),          # K_b
+        pl.BlockSpec(tuple(sel.shape), lambda i, cr: (0, 0)),  # selector
+        pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
+                     memory_space=pltpu.SMEM),                 # gmax
+    ]
+    args = [jnp.asarray(plan.chunk_rows), jnp.asarray(plan.row_local),
+            valid, xg_pack, x_e128, qw, qb2, kw, kb2, sel, gmax2]
+    for v in tuple(score_params or ())[:_N_SCORE_EXTRAS.get(score, 0)]:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        args.append(jnp.reshape(v.astype(jnp.float32), (1, 1)))
+    if ct_g is not None:
+        in_specs.append(pl.BlockSpec((chunk, 64), lambda i, cr: (i, 0)))
+        args.append(ct_g)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((block_n, hp), lambda i, cr: (cr[i], 0)),
+        ),
+    )
+    kernel = functools.partial(
+        _norm1_rev_kernel, chunk=chunk, block_n=block_n, att=att,
+        heads=heads, hp=hp, d_k=d_k, square_plus=square_plus, dtype=dtype,
+        score=score, with_ct=ct_g is not None)
+    flops = 2 * nc * chunk * (block_n * (att + hp) + 128 * att)
+    (out,) = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((plan.num_nodes, hp), jnp.float32),),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=nc * chunk * 128 * 4,
+            transcendentals=nc * chunk * hp),
+        interpret=interpret,
+    )(*args)
+    return out
+
+
+def _norm1_fwd_kernel(cr_ref, rowl_ref, valid_ref, wg_ref, xt_ref, qw_ref,
+                      qb_ref, kw_ref, kb_ref, sel_ref, gmax_ref, *rest,
+                      chunk, block_n, att, heads, hp, d_k, square_plus,
+                      dtype, score):
+    """Column-normalised aggregation: ax[r] = (1/H)Σ_h Σ_e u_eh·recip_eh·
+    x[c_e] with recip decoded from the x|recip pack — no row division."""
+    n_ex = _N_SCORE_EXTRAS.get(score, 0)
+    sp_extra = tuple(r[0, 0] for r in rest[:n_ex]) or None
+    rest = rest[n_ex:]
+    ax_ref, num_scr = rest
+    i = pl.program_id(0)
+    prev = cr_ref[jnp.maximum(i - 1, 0)]
+
+    @pl.when((i == 0) | (cr_ref[i] != prev))
+    def _():
+        num_scr[:] = jnp.zeros_like(num_scr)
+
+    rowl = rowl_ref[:]
+    wg = wg_ref[:]
+    xe = _decode_pairs(wg[:, :64]).astype(dtype)             # [chunk, 128]
+    recip_e = wg[:, 64:64 + hp]                              # f32 raw
+    q_blk = (jnp.dot(xt_ref[:].astype(dtype), qw_ref[:].astype(dtype),
+                     preferred_element_type=jnp.float32)
+             + qb_ref[:]).astype(dtype)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (block_n, chunk), 0)
+    pt = (rowl[None, :] == iota_n).astype(dtype)
+    src = jax.lax.dot_general(pt, q_blk, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    k_e = jnp.dot(xe, kw_ref[:].astype(dtype),
+                  preferred_element_type=jnp.float32) + kb_ref[:]
+    s, _aux = _kernel_scores(src, k_e, sel_ref[:], d_k, score, sp_extra,
+                             dtype)
+    hmask = (jax.lax.broadcasted_iota(jnp.int32, (1, hp), 1) < heads)
+    vmask = hmask.astype(jnp.float32) * valid_ref[:][:, None]
+    u, _duds = _norm1_u_duds(s - gmax_ref[0, 0], vmask, square_plus)
+    a = u * recip_e                                          # normalised att
+    for h in range(heads):
+        pt_h = jnp.where(rowl[None, :] == iota_n, a[:, h][None, :],
+                         0.0).astype(dtype)
+        num_scr[:, h * 128:(h + 1) * 128] += jnp.dot(
+            pt_h, xe, preferred_element_type=jnp.float32)
+    acc = num_scr[:, 0:128]
+    for h in range(1, heads):
+        acc = acc + num_scr[:, h * 128:(h + 1) * 128]
+    ax_ref[:] = acc * (1.0 / heads)
+
+
+def _norm1_fwd_call(plan: StripePlan, qw, qb, kw, kb, x_e128, xg_pack, gmax,
+                    *, heads: int, square_plus: bool, score: str,
+                    score_params=(), dtype=jnp.bfloat16,
+                    interpret: bool | None = None):
+    """ax_E [N, 128] — the head-averaged column-normalised aggregate in
+    pair-decode column order."""
+    att = qw.shape[1]
+    hp = max(8, heads)
+    d_k = att // heads
+    chunk, block_n, nc = plan.chunk, plan.block_n, plan.n_chunks
+    if interpret is None:
+        interpret = not _on_tpu()
+    sel = jnp.asarray(_score_selector(score, att, heads, hp))
+    valid = jnp.asarray(plan.valid, jnp.float32)
+    gmax2 = jnp.reshape(gmax.astype(jnp.float32), (1, 1))
+    kb2 = jnp.reshape(kb.astype(jnp.float32), (1, att))
+    qb2 = jnp.reshape(qb.astype(jnp.float32), (1, att))
+    in_specs = [
+        pl.BlockSpec((chunk,), lambda i, cr: (i,)),
+        pl.BlockSpec((chunk,), lambda i, cr: (i,)),
+        pl.BlockSpec((chunk, 128), lambda i, cr: (i, 0)),      # x|recip pack
+        pl.BlockSpec((block_n, 128), lambda i, cr: (cr[i], 0)),  # x_E rows
+        pl.BlockSpec((128, att), lambda i, cr: (0, 0)),
+        pl.BlockSpec((1, att), lambda i, cr: (0, 0)),
+        pl.BlockSpec((128, att), lambda i, cr: (0, 0)),
+        pl.BlockSpec((1, att), lambda i, cr: (0, 0)),
+        pl.BlockSpec(tuple(sel.shape), lambda i, cr: (0, 0)),
+        pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    args = [jnp.asarray(plan.chunk_rows), jnp.asarray(plan.row_local),
+            valid, xg_pack, x_e128, qw, qb2, kw, kb2, sel, gmax2]
+    for v in tuple(score_params or ())[:_N_SCORE_EXTRAS.get(score, 0)]:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        args.append(jnp.reshape(v.astype(jnp.float32), (1, 1)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((block_n, 128), lambda i, cr: (cr[i], 0)),
+        ),
+        scratch_shapes=[pltpu.VMEM((block_n, heads * 128), jnp.float32)],
+    )
+    kernel = functools.partial(
+        _norm1_fwd_kernel, chunk=chunk, block_n=block_n, att=att,
+        heads=heads, hp=hp, d_k=d_k, square_plus=square_plus, dtype=dtype,
+        score=score)
+    flops = 2 * nc * chunk * (block_n * (att + heads * 128 + hp) + 128 * att)
+    (ax,) = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((plan.num_nodes, 128), jnp.float32),),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=nc * chunk * 128 * 4,
+            transcendentals=nc * chunk * hp),
+        interpret=interpret,
+    )(*args)
+    return ax
+
+
+def _norm1_bwd_kernel(cr_ref, rowl_ref, valid_ref, wg_ref, ctg_ref, ctdg_ref,
+                      xt_ref, qw_ref, qb_ref, kw_ref, kb_ref, sel_ref,
+                      gmax_ref, cta_ref, rcp_ref, ctd_ref, *rest,
+                      chunk, block_n, att, heads, hp, d_k, square_plus,
+                      dtype, score):
+    """One-pass norm-1 backward — the _bwd_sym_kernel twin with the
+    resident/gathered roles of (recip, ct_den) swapped (see section header).
+
+    Forward edges (n,c):  ct_s = (⟨ct[n], x[c]⟩·recip[c]/H + ct_den[c])·f'
+      → dq (row scatter), dkw/dkb/dgmax reductions; recip[c] decoded from
+      the x|recip pack, ct_den[c] from the narrow [cap, Hp] gather.
+    Reverse edges (c,n):  ct_s_rev uses the RESIDENT recip[n]/ct_den[n];
+      payload Σ_h u_rev·recip[n]/H ⊙ ct[c] plus dke_rev@Kᵀ relocate the
+      column-side x gradient to n's resident rows.
+    """
+    n_ex = _N_SCORE_EXTRAS.get(score, 0)
+    sp_extra = tuple(r[0, 0] for r in rest[:n_ex]) or None
+    rest = rest[n_ex:]
+    if n_ex:
+        dq_ref, dxr_ref, dkw_ref, dkb_ref, dgm_ref, dex_ref = rest
+    else:
+        dq_ref, dxr_ref, dkw_ref, dkb_ref, dgm_ref = rest
+        dex_ref = None
+    i = pl.program_id(0)
+    prev = cr_ref[jnp.maximum(i - 1, 0)]
+
+    @pl.when(i == 0)
+    def _():
+        dkw_ref[:] = jnp.zeros_like(dkw_ref)
+        dkb_ref[:] = jnp.zeros_like(dkb_ref)
+        dgm_ref[:] = jnp.zeros_like(dgm_ref)
+        if dex_ref is not None:
+            dex_ref[:] = jnp.zeros_like(dex_ref)
+
+    @pl.when((i == 0) | (cr_ref[i] != prev))
+    def _():
+        dq_ref[:] = jnp.zeros_like(dq_ref)
+        dxr_ref[:] = jnp.zeros_like(dxr_ref)
+
+    rowl = rowl_ref[:]
+    wg = wg_ref[:]
+    xe = _decode_pairs(wg[:, :64]).astype(dtype)             # x[col], E order
+    xe_f = xe.astype(jnp.float32)
+    recip_g = wg[:, 64:64 + hp] * (1.0 / heads)              # recip[col]/H
+    ctd_g = ctdg_ref[:]                                      # ct_den[col]
+    xt_l = xt_ref[:].astype(dtype)
+    hmask = (jax.lax.broadcasted_iota(jnp.int32, (1, hp), 1) < heads)
+    vmask = hmask.astype(jnp.float32) * valid_ref[:][:, None]
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (block_n, chunk), 0)
+    pt = (rowl[None, :] == iota_n).astype(dtype)
+    dims0 = (((0,), (0,)), ((), ()))
+    gmax = gmax_ref[0, 0]
+    ones_d8 = jnp.ones((128, 8), dtype)
+
+    def selT_mm(a):
+        return jax.lax.dot_general(
+            a, sel_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    # ---- FORWARD edges: dq / dkw / dkb / dgmax ---------------------------
+    q_blk = (jnp.dot(xt_l, qw_ref[:].astype(dtype),
+                     preferred_element_type=jnp.float32)
+             + qb_ref[:]).astype(dtype)
+    src = jax.lax.dot_general(pt, q_blk, dims0,
+                              preferred_element_type=jnp.float32)
+    k_e = jnp.dot(xe, kw_ref[:].astype(dtype),
+                  preferred_element_type=jnp.float32) + kb_ref[:]
+    s, saux = _kernel_scores(src, k_e, sel_ref[:], d_k, score, sp_extra,
+                             dtype)
+    _u, duds = _norm1_u_duds(s - gmax, vmask, square_plus)
+    ct_ax_e = jax.lax.dot_general(pt, cta_ref[:].astype(dtype), dims0,
+                                  preferred_element_type=jnp.float32)
+    dot = jnp.dot((ct_ax_e * xe_f).astype(dtype), ones_d8,
+                  preferred_element_type=jnp.float32)[:, :1]
+    ds = (dot * recip_g + ctd_g) * duds
+    dsrc_f, dke, dextras = _kernel_scores_bwd(
+        ds, src, k_e, sel_ref[:], selT_mm, d_k, score, sp_extra, saux)
+    dq_ref[:] += jnp.dot(pt, dsrc_f.astype(dtype),
+                         preferred_element_type=jnp.float32)
+    dke_l = dke.astype(dtype)
+    dkw_ref[:] += jax.lax.dot_general(xe, dke_l, dims0,
+                                      preferred_element_type=jnp.float32)
+    dkb_ref[:] += jnp.broadcast_to(jnp.sum(dke, axis=0, keepdims=True),
+                                   dkb_ref.shape)
+    dgm_ref[:] += jnp.broadcast_to(jnp.sum(ds, axis=0, keepdims=True),
+                                   dgm_ref.shape)
+    if dex_ref is not None:
+        cid = jax.lax.broadcasted_iota(jnp.int32, dex_ref.shape, 1)
+        val = jnp.zeros(dex_ref.shape, jnp.float32)
+        for ci, dv in enumerate(dextras):
+            val = jnp.where(cid == ci, dv, val)
+        dex_ref[:] += val
+
+    # ---- REVERSE edges: relocate the column-side x gradient --------------
+    ct_g = _decode_pairs(ctg_ref[:])                         # ct[col], E
+    src_rev = (jnp.dot(xe, qw_ref[:].astype(dtype),
+                       preferred_element_type=jnp.float32) + qb_ref[:])
+    k_blk = (jnp.dot(xt_l, kw_ref[:].astype(dtype),
+                     preferred_element_type=jnp.float32)
+             + kb_ref[:]).astype(dtype)
+    k_rev = jax.lax.dot_general(pt, k_blk, dims0,
+                                preferred_element_type=jnp.float32)
+    xe_rev = jax.lax.dot_general(pt, xt_l, dims0,
+                                 preferred_element_type=jnp.float32)
+    s_r, saux_r = _kernel_scores(src_rev, k_rev, sel_ref[:], d_k, score,
+                                 sp_extra, dtype)
+    u_r, duds_r = _norm1_u_duds(s_r - gmax, vmask, square_plus)
+    rg = jax.lax.dot_general(pt, rcp_ref[:].astype(dtype), dims0,
+                             preferred_element_type=jnp.float32)
+    ctd_res = jax.lax.dot_general(pt, ctd_ref[:].astype(dtype), dims0,
+                                  preferred_element_type=jnp.float32)
+    dot_r = jnp.dot((ct_g * xe_rev).astype(dtype), ones_d8,
+                    preferred_element_type=jnp.float32)[:, :1]
+    ds_r = (dot_r * rg + ctd_res) * duds_r
+    dxr_acc = jnp.sum(u_r * rg, axis=1, keepdims=True) * ct_g
+    _dsrc_r, dke_r, _dex_r = _kernel_scores_bwd(
+        ds_r, src_rev, k_rev, sel_ref[:], selT_mm, d_k, score, sp_extra,
+        saux_r)
+    c_rev = dxr_acc + jax.lax.dot_general(
+        dke_r.astype(dtype), kw_ref[:].astype(dtype),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    dxr_ref[:] += jnp.dot(pt, c_rev.astype(dtype),
+                          preferred_element_type=jnp.float32)
+
+
+def _norm1_bwd_call(plan: StripePlan, qw, qb, kw, kb, x_e128, xg_pack, ct_g,
+                    ctd_g, gmax, ct_e128, rcp_p, ctd, *, heads: int,
+                    square_plus: bool, score: str, score_params=(),
+                    dtype=jnp.bfloat16, interpret: bool | None = None):
+    """(dq [N, ATT], dxr_E [N, 128], dkw_E [128, ATT], dkb, dgmax, dextra).
+
+    xg_pack: the forward's x|recip pack (residual); ct_g: [cap, 64] bf16
+    pair pack of the output cotangent (E order); ctd_g: [cap, Hp] f32
+    ct_den[col]; ct_e128/rcp_p/ctd: resident node tables (ct in E order,
+    recip/H, ct_den)."""
+    att = qw.shape[1]
+    hp = max(8, heads)
+    d_k = att // heads
+    chunk, block_n, nc = plan.chunk, plan.block_n, plan.n_chunks
+    if interpret is None:
+        interpret = not _on_tpu()
+    sel = jnp.asarray(_score_selector(score, att, heads, hp))
+    valid = jnp.asarray(plan.valid, jnp.float32)
+    gmax2 = jnp.reshape(gmax.astype(jnp.float32), (1, 1))
+    kb2 = jnp.reshape(kb.astype(jnp.float32), (1, att))
+    qb2 = jnp.reshape(qb.astype(jnp.float32), (1, att))
+    in_specs = [
+        pl.BlockSpec((chunk,), lambda i, cr: (i,)),            # rowl
+        pl.BlockSpec((chunk,), lambda i, cr: (i,)),            # valid
+        pl.BlockSpec((chunk, 128), lambda i, cr: (i, 0)),      # x|recip pack
+        pl.BlockSpec((chunk, 64), lambda i, cr: (i, 0)),       # ct pack
+        pl.BlockSpec((chunk, hp), lambda i, cr: (i, 0)),       # ct_den[col]
+        pl.BlockSpec((block_n, 128), lambda i, cr: (cr[i], 0)),  # x_E rows
+        pl.BlockSpec((128, att), lambda i, cr: (0, 0)),        # Q_E
+        pl.BlockSpec((1, att), lambda i, cr: (0, 0)),          # Q_b
+        pl.BlockSpec((128, att), lambda i, cr: (0, 0)),        # K_E
+        pl.BlockSpec((1, att), lambda i, cr: (0, 0)),          # K_b
+        pl.BlockSpec(tuple(sel.shape), lambda i, cr: (0, 0)),  # selector
+        pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
+                     memory_space=pltpu.SMEM),                 # gmax
+        pl.BlockSpec((block_n, 128), lambda i, cr: (cr[i], 0)),  # ct_E rows
+        pl.BlockSpec((block_n, hp), lambda i, cr: (cr[i], 0)),   # recip/H
+        pl.BlockSpec((block_n, hp), lambda i, cr: (cr[i], 0)),   # ct_den
+    ]
+    args = [jnp.asarray(plan.chunk_rows), jnp.asarray(plan.row_local),
+            valid, xg_pack, ct_g, ctd_g, x_e128, qw, qb2, kw, kb2, sel,
+            gmax2, ct_e128, rcp_p, ctd]
+    for v in tuple(score_params or ())[:_N_SCORE_EXTRAS.get(score, 0)]:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i, cr: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        args.append(jnp.reshape(v.astype(jnp.float32), (1, 1)))
+    out_specs = [
+        pl.BlockSpec((block_n, att), lambda i, cr: (cr[i], 0)),  # dq
+        pl.BlockSpec((block_n, 128), lambda i, cr: (cr[i], 0)),  # dxr_E
+        pl.BlockSpec((128, att), lambda i, cr: (0, 0)),          # dkw_E
+        pl.BlockSpec((8, att), lambda i, cr: (0, 0)),            # dkb
+        pl.BlockSpec((8, hp), lambda i, cr: (0, 0)),             # dgm
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((plan.num_nodes, att), jnp.float32),
+        jax.ShapeDtypeStruct((plan.num_nodes, 128), jnp.float32),
+        jax.ShapeDtypeStruct((128, att), jnp.float32),
+        jax.ShapeDtypeStruct((8, att), jnp.float32),
+        jax.ShapeDtypeStruct((8, hp), jnp.float32),
+    ]
+    if _N_SCORE_EXTRAS.get(score, 0):
+        out_specs.append(pl.BlockSpec((8, 8), lambda i, cr: (0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((8, 8), jnp.float32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+    )
+    kernel = functools.partial(
+        _norm1_bwd_kernel, chunk=chunk, block_n=block_n, att=att,
+        heads=heads, hp=hp, d_k=d_k, square_plus=square_plus, dtype=dtype,
+        score=score)
+    flops = 4 * nc * chunk * block_n * (att + 2 * 128 + hp + att)
+    outs = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=tuple(out_shape),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=nc * chunk * 128 * 8,
+            transcendentals=2 * nc * chunk * hp),
+        interpret=interpret,
+    )(*args)
+    dq, dxr, dkw, dkb8, dgm8 = outs[:5]
+    dkb = dkb8[0]
+    dgmax = -jnp.sum(dgm8[0, :heads])
+    dextra = ()
+    if _N_SCORE_EXTRAS.get(score, 0):
+        dex = outs[5]
+        dextra = tuple(dex[0, ci].astype(v.dtype).reshape(v.shape)
+                       for ci, v in enumerate(score_params))
+    return dq, dxr, dkw, dkb, dgmax, dextra
+
+
+def make_fused_ax_norm1(plan: StripePlan, heads: int, square_plus: bool,
+                        score: str, col: jax.Array):
+    """Column-normalised (attention_norm_idx=1) fused RHS aggregate for
+    SYMMETRIC edge multisets: op(qw, qb, kw, kb, x, gmax, score_params) ->
+    (ax [N, D], den_col [N, Hp]).
+
+    ax[r] = (1/H)·Σ_h Σ_{e: row_e=r} u_eh / den_col[col_e, h] · x[col_e]
+    with den_col the per-COLUMN score mass — the reference's norm_idx=1
+    semantics (function_transformer_attention.py:210-213) that the norm0
+    fused path cannot express. Design and backward derivation: see the
+    section header above. The payload rides bf16 (the x|recip pack packs x
+    as bf16 pairs); requires D <= 128 and plan.symmetric.
+    """
+    assert plan.symmetric, "make_fused_ax_norm1 requires a symmetric plan"
+    hp = max(8, heads)
+    pm_np = _norm1_perm(128)
+
+    def _prep(qw, kw, x):
+        n, d = x.shape
+        assert d <= 128, "norm1 fused path requires D <= 128"
+        att = qw.shape[1]
+        pm = jnp.asarray(pm_np)
+        x128 = x.astype(jnp.float32)
+        if d < 128:
+            x128 = jnp.concatenate(
+                [x128, jnp.zeros((n, 128 - d), jnp.float32)], axis=1)
+        x_e = x128 @ pm                      # resident states, E order
+        qpad = qw.astype(jnp.float32)
+        kpad = kw.astype(jnp.float32)
+        if d < 128:
+            zp = jnp.zeros((128 - d, att), jnp.float32)
+            qpad = jnp.concatenate([qpad, zp], axis=0)
+            kpad = jnp.concatenate([kpad, zp], axis=0)
+        qw_e = pm.T @ qpad                   # E-row projections
+        kw_e = pm.T @ kpad
+        return x_e, qw_e, kw_e, pm
+
+    def _fwd_core(qw, qb, kw, kb, x, gmax, sp):
+        d = x.shape[1]
+        x_e, qw_e, kw_e, pm = _prep(qw, kw, x)
+        pack0 = _pack_x_recip(x.astype(jnp.float32), None, hp)
+        g1 = jax.lax.optimization_barrier(pack0)[col]
+        den = _norm1_rev_call(plan, qw_e, qb, kw_e, kb, x_e, g1, gmax,
+                              heads=heads, square_plus=square_plus,
+                              score=score, score_params=sp)
+        recip = 1.0 / (den[:, :heads] + 1e-16)
+        pack1 = _pack_x_recip(x.astype(jnp.float32), recip, hp)
+        g2 = jax.lax.optimization_barrier(pack1)[col]
+        ax_e = _norm1_fwd_call(plan, qw_e, qb, kw_e, kb, x_e, g2, gmax,
+                               heads=heads, square_plus=square_plus,
+                               score=score, score_params=sp)
+        ax = (ax_e @ pm.T)[:, :d]
+        return ax, den, (x_e, g2, qw_e, kw_e, pm)
+
+    @jax.custom_vjp
+    def op(qw, qb, kw, kb, x, gmax, score_params=()):
+        ax, den, _ = _fwd_core(qw, qb, kw, kb, x, gmax, score_params)
+        return ax, den
+
+    def fwd(qw, qb, kw, kb, x, gmax, score_params=()):
+        ax, den, aux = _fwd_core(qw, qb, kw, kb, x, gmax, score_params)
+        return (ax, den), (qw, qb, kw, kb, x, gmax, den, aux, score_params)
+
+    def bwd(res, cts):
+        qw, qb, kw, kb, x, gmax, den, aux, sp = res
+        x_e, g2, qw_e, kw_e, pm = aux
+        ct_ax_in, ct_den_in = cts
+        n, d = x.shape
+        ct = ct_ax_in.astype(jnp.float32)
+        ct128 = ct
+        if d < 128:
+            ct128 = jnp.concatenate(
+                [ct128, jnp.zeros((n, 128 - d), jnp.float32)], axis=1)
+        ct_e = ct128 @ pm                                   # resident, E
+        recip = 1.0 / (den[:, :heads] + 1e-16)
+        # B1: ct_den numerators via the mirror (needs ct at the column side)
+        ct_pack = _pack_pairs64(ct128)                      # [N, 64]
+        g_ct = jax.lax.optimization_barrier(ct_pack)[col]
+        m = _norm1_rev_call(plan, qw_e, qb, kw_e, kb, x_e, g2, gmax,
+                            heads=heads, square_plus=square_plus,
+                            score=score, score_params=sp, ct_g=g_ct)
+        ctd = ct_den_in.astype(jnp.float32).at[:, :heads].add(
+            -(m[:, :heads] * recip * recip) / heads)
+        g_ctd = jax.lax.optimization_barrier(ctd)[col]      # [cap, Hp]
+        rcp_p = jnp.concatenate(
+            [recip * (1.0 / heads),
+             jnp.zeros((n, hp - heads), jnp.float32)], axis=1)
+        dq, dxr_e, dkw_e, dkb, dgmax, dextra = _norm1_bwd_call(
+            plan, qw_e, qb, kw_e, kb, x_e, g2, g_ct, g_ctd, gmax, ct_e,
+            rcp_p, ctd, heads=heads, square_plus=square_plus, score=score,
+            score_params=sp)
+        pmj = jnp.asarray(pm_np)
+        dx = ((dxr_e @ pmj.T)[:, :d] + dq @ qw.T).astype(x.dtype)
+        dqw = (x.astype(jnp.float32).T @ dq).astype(qw.dtype)
+        dqb = jnp.sum(dq, axis=0)
+        dkw = ((pmj @ dkw_e)[:d]).astype(kw.dtype)
+        return (dqw, dqb, dkw, dkb, dx, dgmax, dextra)
+
+    op.defvjp(fwd, bwd)
+    return op
