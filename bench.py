@@ -399,6 +399,238 @@ def verify_kernels_on_device():
     return fold_ok
 
 
+def _xla_scores(src, ke, heads, score, sp):
+    """XLA oracle for every fused score family (_kernel_scores semantics,
+    reference function_transformer_attention.py:193-206)."""
+    att = src.shape[1]
+    if score == "exp_kernel_beltrami":
+        half = att // 2
+        dk = half // heads
+        varx, lsx, varp, lsp = sp
+
+        def per(a, b):
+            d = (a - b).reshape(-1, heads, dk)
+            return jnp.sum(d * d, axis=-1)
+
+        dx2 = per(src[:, :half], ke[:, :half])
+        dp2 = per(src[:, half:], ke[:, half:])
+        return ((varx * varx) * jnp.exp(-dx2 / (2.0 * lsx * lsx))
+                * (varp * varp) * jnp.exp(-dp2 / (2.0 * lsp * lsp)))
+    dk = att // heads
+
+    def s3(v):
+        return v.reshape(-1, heads, dk)
+
+    if score == "exp_kernel":
+        var, ls = sp
+        d2 = jnp.sum((s3(src) - s3(ke)) ** 2, axis=-1)
+        return var * var * jnp.exp(-d2 / (2.0 * ls * ls))
+    a, b = s3(src), s3(ke)
+    if score == "pearson":
+        a = a - a.mean(-1, keepdims=True)
+        b = b - b.mean(-1, keepdims=True)
+    dot = jnp.sum(a * b, axis=-1)
+    if score == "scaled_dot":
+        return dot / np.sqrt(dk)
+    eps = 1e-5
+    na = jnp.maximum(jnp.sqrt(jnp.maximum(jnp.sum(a * a, -1), 0.0)), eps)
+    nb = jnp.maximum(jnp.sqrt(jnp.maximum(jnp.sum(b * b, -1), 0.0)), eps)
+    return dot / (na * nb)
+
+
+def verify_score_families_on_device():
+    """Compiled-kernel oracle runs for everything the round-4 verifier did
+    NOT cover (VERDICT r4 #3): the norm_idx=1 mirror-trick engine and the
+    non-scaled_dot score families (cosine_sim / pearson / exp_kernel /
+    exp_kernel_beltrami), each checked end-to-end — forward AND jax.grad —
+    against a pure-XLA composition compiled on this chip."""
+    import dataclasses as _dc
+    from graph_neural_pde_tpu.ops.pallas.fused_rhs import (
+        make_fused_ax_colplan, make_fused_ax_norm1)
+    from graph_neural_pde_tpu.ops.pallas.stripe import (
+        attach_col_plan, build_stripe_plan, edges_symmetric)
+
+    rng = np.random.default_rng(1)
+    n, e, d, att, heads = 512, 4096, 128, 64, 2
+    # symmetric edge multiset: serves the norm1 engine (requires symmetry)
+    # and the colplan engine alike
+    r0 = rng.integers(0, n, e // 2).astype(np.int32)
+    c0 = rng.integers(0, n, e // 2).astype(np.int32)
+    rs = np.concatenate([r0, c0])
+    cs = np.concatenate([c0, r0])
+    order = np.argsort(rs, kind="stable")
+    rs, cs = rs[order], cs[order]
+    plan = build_stripe_plan(rs, num_nodes=n, block_n=128, chunk=1024)
+    col_s = np.zeros(plan.capacity, np.int32)
+    col_s[np.asarray(plan.slot_of_edge)] = cs
+    row_s = np.zeros(plan.capacity, np.int32)
+    row_s[np.asarray(plan.slot_of_edge)] = rs
+    plan = attach_col_plan(plan, col_s)
+    assert edges_symmetric(row_s, col_s, plan.valid)
+    plan = _dc.replace(plan, symmetric=True)
+    rows_of_slot = (np.repeat(np.asarray(plan.chunk_rows), plan.chunk)
+                    * plan.block_n + np.asarray(plan.row_local))
+
+    rows_j = jnp.asarray(rows_of_slot)
+    col_j = jnp.asarray(col_s)
+    mask_j = jnp.asarray(plan.valid)
+    x_nodes = jnp.asarray(rng.normal(size=(n, d)) * 0.5, jnp.float32)
+    probe = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    gmax0 = jnp.zeros((), jnp.float32)
+
+    def make_xla_loss(score, norm1):
+        def loss(qw_, qb_, kw_, kb_, x_, sp_):
+            q_ = x_.astype(jnp.float32) @ qw_ + qb_
+            src_ = q_[rows_j]
+            xg_ = x_.astype(jnp.bfloat16).astype(jnp.float32)[col_j]
+            ke_ = xg_ @ kw_ + kb_
+            s_ = _xla_scores(src_, ke_, heads, score, sp_)
+            uu_ = jnp.exp(s_) * mask_j[:, None]
+            idx = col_j if norm1 else rows_j
+            ax_ = 0.0
+            for hh in range(heads):
+                dh = jnp.zeros((n,)).at[idx].add(uu_[:, hh])
+                w_ = uu_[:, hh] / (dh[idx] + 1e-16)
+                nh = jnp.zeros((n, d)).at[rows_j].add(w_[:, None] * xg_)
+                ax_ = ax_ + nh
+            return jnp.sum(ax_ / heads * probe)
+
+        return loss
+
+    sp_params = {
+        "cosine_sim": (),
+        "pearson": (),
+        "exp_kernel": (jnp.float32(1.1), jnp.float32(0.9)),
+        "exp_kernel_beltrami": (jnp.float32(1.1), jnp.float32(0.9),
+                                jnp.float32(0.8), jnp.float32(1.2)),
+    }
+    checked = []
+    for score, sp in sp_params.items():
+        att_w = 2 * att if score == "exp_kernel_beltrami" else att
+        qw = jnp.asarray(rng.normal(size=(d, att_w)) * 0.1, jnp.float32)
+        qb = jnp.asarray(rng.normal(size=(att_w,)) * 0.1, jnp.float32)
+        kw = jnp.asarray(rng.normal(size=(d, att_w)) * 0.1, jnp.float32)
+        kb = jnp.asarray(rng.normal(size=(att_w,)) * 0.1, jnp.float32)
+        op = make_fused_ax_colplan(plan, heads, False, score, col_j,
+                                   jnp.bfloat16)
+
+        def loss_op(qw_, qb_, kw_, kb_, x_, sp_):
+            ax, _ = op(qw_, qb_, kw_, kb_, x_, gmax0, sp_)
+            return jnp.sum(ax * probe)
+
+        loss_xla = make_xla_loss(score, False)
+        args = (qw, qb, kw, kb, x_nodes, sp)
+        v_op = float(jax.jit(loss_op)(*args))
+        v_xla = float(jax.jit(loss_xla)(*args))
+        assert abs(v_op - v_xla) / (abs(v_xla) + 1e-9) < 3e-2, (
+            f"{score} fwd: {v_op} vs {v_xla}")
+        g_op = jax.jit(jax.grad(loss_op, argnums=(0, 1, 2, 3, 4, 5)))(*args)
+        g_xla = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4, 5)))(*args)
+        w_scale = max(float(np.abs(np.asarray(g)).max())
+                      for g in (g_xla[0], g_xla[2], g_xla[4])) + 1e-9
+        flat_op = jax.tree_util.tree_leaves(g_op)
+        flat_xla = jax.tree_util.tree_leaves(g_xla)
+        for i, (a, b) in enumerate(zip(flat_op, flat_xla)):
+            a = np.asarray(a, np.float64)
+            b = np.asarray(b, np.float64)
+            assert np.abs(a - b).max() / w_scale < 3e-2, (
+                f"{score} e2e grad leaf {i}: {np.abs(a - b).max()} "
+                f"vs scale {w_scale}")
+        checked.append(score)
+
+    # ---- norm_idx=1 mirror-trick engine (landed round 4, never verified
+    # on hardware): forward + e2e gradient vs the column-normalised XLA
+    # composition, compiled on this chip ------------------------------------
+    for score in ("scaled_dot", "cosine_sim"):
+        qw = jnp.asarray(rng.normal(size=(d, att)) * 0.1, jnp.float32)
+        qb = jnp.asarray(rng.normal(size=(att,)) * 0.1, jnp.float32)
+        kw = jnp.asarray(rng.normal(size=(d, att)) * 0.1, jnp.float32)
+        kb = jnp.asarray(rng.normal(size=(att,)) * 0.1, jnp.float32)
+        op1 = make_fused_ax_norm1(plan, heads, False, score, col_j)
+
+        def loss_op1(qw_, qb_, kw_, kb_, x_):
+            ax, _ = op1(qw_, qb_, kw_, kb_, x_, gmax0, ())
+            return jnp.sum(ax * probe)
+
+        loss_xla1 = make_xla_loss(score, True)
+
+        def loss_xla1_nosp(qw_, qb_, kw_, kb_, x_):
+            return loss_xla1(qw_, qb_, kw_, kb_, x_, ())
+
+        args = (qw, qb, kw, kb, x_nodes)
+        v_op = float(jax.jit(loss_op1)(*args))
+        v_xla = float(jax.jit(loss_xla1_nosp)(*args))
+        assert abs(v_op - v_xla) / (abs(v_xla) + 1e-9) < 3e-2, (
+            f"norm1/{score} fwd: {v_op} vs {v_xla}")
+        g_op = jax.jit(jax.grad(loss_op1, argnums=(0, 1, 2, 3, 4)))(*args)
+        g_xla = jax.jit(jax.grad(loss_xla1_nosp,
+                                 argnums=(0, 1, 2, 3, 4)))(*args)
+        w_scale = max(float(np.abs(np.asarray(g)).max())
+                      for g in (g_xla[0], g_xla[2], g_xla[4])) + 1e-9
+        for name, a, b in zip(("dqw", "dqb", "dkw", "dkb", "dx"),
+                              g_op, g_xla):
+            a = np.asarray(a, np.float64)
+            b = np.asarray(b, np.float64)
+            assert np.abs(a - b).max() / w_scale < 3e-2, (
+                f"norm1/{score} e2e {name}: {np.abs(a - b).max()} "
+                f"vs scale {w_scale}")
+        checked.append(f"norm1/{score}")
+
+    print(f"# score families verified on-device (fwd + e2e grad): "
+          f"{', '.join(checked)}", file=sys.stderr)
+
+
+def verify_cheby_gradient_on_device():
+    """On-device gradient parity for the differentiable Chebyshev solve
+    (VERDICT r4 #2): jax.grad of the training loss through method='cheby'
+    vs through a fine-grid rk4 solve of the same GRAND-l model, on a small
+    SBM graph, compiled on this chip. The expm solve is exact, so the only
+    difference is the rk4 grid's discretisation error — step 0.05 puts that
+    ~1e-6 relative."""
+    from graph_neural_pde_tpu.config import Config
+    from graph_neural_pde_tpu.data.synthetic import make_sbm_dataset
+    from graph_neural_pde_tpu.models.gnn import GNNModel
+
+    ds = make_sbm_dataset(num_nodes=512, num_classes=5, num_features=32,
+                          seed=3, edge_pad_multiple=256)
+    base = Config(dataset="synthetic", block="attention",
+                  function="laplacian", time=3.0, hidden_dim=64,
+                  attention_dim=32, heads=2, self_loop_weight=1.0,
+                  add_source=True, input_dropout=0.0, dropout=0.0,
+                  max_nfe=10000, stripe_fused=True,
+                  rhs_payload_dtype="bfloat16")
+    grads = {}
+    for label, over in (("cheby", dict(method="cheby")),
+                        ("rk4", dict(method="rk4", step_size=0.05))):
+        cfg = base.replace(**over)
+        model = GNNModel(cfg, ds.num_features, ds.num_classes, ds.graph)
+        params, state = model.init(jax.random.PRNGKey(0))
+
+        def loss_fn(p):
+            logits, _, _, _ = model.apply(p, state, ds.x, training=True,
+                                          rng=jax.random.PRNGKey(1))
+            return cross_entropy(logits, ds.y, ds.train_mask)
+
+        def cross_entropy(logits, y, m):
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            ll = jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+            mf = m.astype(logits.dtype)
+            return -jnp.sum(ll * mf) / jnp.maximum(jnp.sum(mf), 1.0)
+
+        grads[label] = jax.jit(jax.grad(loss_fn))(params)
+    fa = jax.tree_util.tree_leaves(grads["cheby"])
+    fb = jax.tree_util.tree_leaves(grads["rk4"])
+    scale = max(float(np.abs(np.asarray(b)).max()) for b in fb) + 1e-9
+    worst = 0.0
+    for a, b in zip(fa, fb):
+        worst = max(worst, float(np.abs(np.asarray(a, np.float64)
+                                        - np.asarray(b, np.float64)).max()))
+    assert worst / scale < 3e-2, (
+        f"cheby-vs-rk4 gradient mismatch: {worst} vs scale {scale}")
+    print(f"# cheby train gradient verified on-device vs fine-grid rk4 "
+          f"(worst |Δ|/scale = {worst/scale:.2e})", file=sys.stderr)
+
+
 def _time_train(model, params, state, x, y, mask, reps=3, batches=2):
     """One full optimizer step (forward + backward + update) steady rate."""
     from graph_neural_pde_tpu.training.train import Trainer
@@ -437,6 +669,8 @@ def main():
     fold_verified = False
     if jax.default_backend() == "tpu":
         fold_verified = verify_kernels_on_device()
+        verify_score_families_on_device()
+        verify_cheby_gradient_on_device()
     model, params, state, x, g_raw, nf, nc = build_benchmark()
     # Config.fold_epilogue now defaults True (VERDICT r3 #10) so the
     # headline config is reachable from the plain preset with no hidden
@@ -494,6 +728,61 @@ def main():
         finally:
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old_h)
+
+    # GRAND-l TRAIN secondaries (VERDICT r4 #2): every tuned best_params
+    # config runs function=laplacian with attention frozen at t=0
+    # (/root/reference/src/best_params.py:1-8;
+    # function_laplacian_diffusion.py:28-51 is the reference's hot loop for
+    # all of them) — measure a full optimizer step of that family through
+    # (a) the stripe spmm under remat and adjoint, and (b) the
+    # differentiable Chebyshev expm solve (gradient parity vs fine-grid rk4
+    # pinned on-device by verify_cheby_gradient_on_device above).
+    grand_l_train = {}
+    base_l = model.cfg.replace(block="attention", function="laplacian")
+    for mode, over in (
+            ("remat", dict(method="rk4", step_size=1.0, remat=True)),
+            ("adjoint", dict(method="rk4", step_size=1.0, adjoint=True,
+                             adjoint_method="rk4", adjoint_step_size=1.0)),
+            ("cheby", dict(method="cheby"))):
+        old_h = signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(900)
+        try:
+            m_l = GNNModel(base_l.replace(**over), nf, nc, g_raw)
+            p_l, s_l = m_l.init(jax.random.PRNGKey(11))
+            nfe_l, dt_l, comp_l, bwd_l = _time_train(
+                m_l, p_l, s_l, x, y, mask)
+            rate = nfe_l * e_valid / dt_l
+            grand_l_train[mode] = (rate, dt_l * 1000.0)
+            print(f"# train_grand_l[{mode}]: {dt_l*1000:.0f} ms/step "
+                  f"fwd_nfe={nfe_l} bwd_nfe={bwd_l} rate={rate/1e6:.1f}M "
+                  f"compile={comp_l:.0f}s", file=sys.stderr)
+        except Exception as ex:  # noqa: BLE001
+            print(f"# train_grand_l[{mode}] failed: {ex}", file=sys.stderr)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old_h)
+
+    # norm_idx=1 TRAIN (VERDICT r4 #3): one full optimizer step through the
+    # mirror-trick engine (params/state shapes match the headline model —
+    # norm_idx only changes the normalisation axis)
+    norm1_train = None
+    old_h = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(900)
+    try:
+        m_n1 = GNNModel(model.cfg.replace(attention_norm_idx=1, remat=True),
+                        nf, nc, g_raw)
+        nfe_n1, dt_n1, comp_n1, bwd_n1 = _time_train(
+            m_n1, params, state, x, y, mask)
+        norm1_train = (nfe_n1 * e_valid / dt_n1, dt_n1 * 1000.0)
+        print(f"# train_norm1[remat]: {dt_n1*1000:.0f} ms/step "
+              f"fwd_nfe={nfe_n1} bwd_nfe={bwd_n1} "
+              f"rate={norm1_train[0]/1e6:.1f}M compile={comp_n1:.0f}s",
+              file=sys.stderr)
+    except Exception as ex:  # noqa: BLE001
+        print(f"# train_norm1 failed: {ex}", file=sys.stderr)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old_h)
 
     # secondary: a NON-scaled-dot score family through the same one-pass
     # kernel (VERDICT r2 #3b: the fast engine must cover the tuned configs'
@@ -582,6 +871,57 @@ def main():
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old_h)
 
+    # secondary: the early-stop test integrator at bench scale (VERDICT r4
+    # #7 — the reference's flagship eval feature, early_stop_solver.py:69-122:
+    # val/test accuracy evaluated INSIDE the solver after every accepted
+    # step, best-val snapshot kept). Measured as the in-loop-eval solve's
+    # wall time vs the plain forward above (its overhead) on the same graph.
+    early_stop = None
+    old_h = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(900)
+    try:
+        from graph_neural_pde_tpu.models.gnn_early import GNNEarlyModel
+        m_e = GNNEarlyModel(model.cfg, nf, nc, g_raw)
+        masks_e = (mask, jnp.asarray(rng_t.random(x.shape[0]) < 0.25),
+                   jnp.asarray(rng_t.random(x.shape[0]) < 0.25))
+
+        @jax.jit
+        def early_eval(p):
+            logits, best, stats = m_e.apply_early(p, state, x, y, masks_e)
+            return best, stats["nfe"]
+
+        t0 = time.time()
+        best_e, nfe_e = early_eval(params)
+        _sync(best_e.val)
+        comp_e = time.time() - t0
+        best_t = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            for _ in range(3):
+                best_e, nfe_e = early_eval(params)
+            _sync(best_e.val)
+            best_t = min(best_t, (time.time() - t0) / 3)
+        early_stop = {
+            "ms": best_t * 1000.0,
+            "nfe": int(jax.device_get(nfe_e)),
+            "best_val": float(jax.device_get(best_e.val)),
+            "best_test": float(jax.device_get(best_e.test)),
+            "best_time": float(jax.device_get(best_e.time)),
+            "overhead_vs_plain_fwd": best_t / dt,
+        }
+        print(f"# early-stop eval: {best_t*1000:.0f} ms "
+              f"(nfe={early_stop['nfe']}, "
+              f"{early_stop['overhead_vs_plain_fwd']:.2f}x the plain "
+              f"forward), best_val={early_stop['best_val']:.4f} "
+              f"best_test={early_stop['best_test']:.4f} "
+              f"best_time={early_stop['best_time']:.2f}",
+              file=sys.stderr)
+    except Exception as ex:  # noqa: BLE001
+        print(f"# early-stop secondary failed: {ex}", file=sys.stderr)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old_h)
+
     baseline = 1.5e8  # estimated torchdiffeq V100 edge·NFE/s (see docstring)
     out = {
         "metric": "grand_nl_arxiv_edge_updates_per_sec_nfe",
@@ -605,6 +945,18 @@ def main():
     if cheby_rate is not None:
         out["grand_l_cheby_edge_updates_per_sec"] = round(cheby_rate, 1)
         out["grand_l_cheby_vs_baseline"] = round(cheby_rate / baseline, 3)
+    for mode, (rate, ms) in grand_l_train.items():
+        out[f"train_grand_l_{mode}_edge_updates_per_sec_nfe"] = round(rate, 1)
+        out[f"train_grand_l_{mode}_step_ms"] = round(ms, 1)
+    if norm1_train is not None:
+        out["train_norm1_edge_updates_per_sec_nfe"] = round(
+            norm1_train[0], 1)
+        out["train_norm1_step_ms"] = round(norm1_train[1], 1)
+    if early_stop is not None:
+        out["early_stop_eval_ms"] = round(early_stop["ms"], 1)
+        out["early_stop_nfe"] = early_stop["nfe"]
+        out["early_stop_overhead_vs_plain_fwd"] = round(
+            early_stop["overhead_vs_plain_fwd"], 3)
     print(json.dumps(out))
     print(f"# nfe={nfe} edges={e_valid} fwd={dt*1000:.1f}ms "
           f"compile={compile_s:.1f}s device={jax.devices()[0]}",

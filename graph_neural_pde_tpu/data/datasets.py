@@ -397,10 +397,36 @@ def get_dataset(cfg: Config, data_dir: str, use_lcc: bool = False, *,
         nf_syn = min(f, 512)
         sig = (2.0 / float(np.sqrt(nf_syn))
                * float(np.sqrt(np.log(max(c, 2)) / np.log(7.0))))
+        # Hold the INTRA-CLASS EDGE FRACTION constant across class counts
+        # (round 5). A fixed pair-keep probability h drifts with C: a random
+        # pair is intra-class w.p. 1/C, so at h=0.85 the realised intra-edge
+        # fraction is 0.74 for C=3 (graph alone classifies Pubmed's stand-in
+        # at 0.96) but only 0.13 for C=40 (no structure at all for arxiv's).
+        # Solving frac = (h/C)/(h/C + (1-1/C)(1-h)) for h at the calibrated
+        # C=7/h=0.85 anchor (frac* = 0.4857) keeps the measured Cora/Citeseer
+        # rows bit-identical while giving every C the same structural
+        # difficulty: h(C) = frac*(C-1) / (1 + frac*(C-2)).
+        frac_star = 0.85 / 1.75            # = 17/35; h(7) = 102/120 = 0.85
+        cc = max(c, 2)
+        homo = frac_star * (cc - 1) / (1.0 + frac_star * (cc - 2))
         d = make_sbm_dataset(num_nodes=min(n, 20000), num_classes=c,
                              num_features=nf_syn,
                              edge_pad_multiple=pad, seed=cfg.seed,
-                             feature_signal=sig)
+                             feature_signal=sig, homophily=homo)
+        # reference split protocol (data.py:97-101): every maskless dataset
+        # gets set_train_val_test_split(12345, dev=5000 for CoauthorCS else
+        # 1500) inside get_dataset — the SBM's own 30-node val split made
+        # best-val model selection pure noise on the stand-ins (measured:
+        # CoauthorCS val 0.50 / test 0.34 at n=1)
+        import jax.numpy as jnp
+        n_nodes = int(d.y.shape[0])
+        dev = 5000 if ds == "CoauthorCS" else 1500
+        if n_nodes > dev + 100:
+            tm, vm, sm = set_train_val_test_split(12345, np.asarray(d.y),
+                                                  dev)
+            d.train_mask = jnp.asarray(tm)
+            d.val_mask = jnp.asarray(vm)
+            d.test_mask = jnp.asarray(sm)
         d.name = f"{ds}-synthetic"
         if cfg.rewiring is not None:
             d.graph = rewire(d.graph, cfg, data_dir)

@@ -25,7 +25,11 @@ import jax.numpy as jnp
 
 from graph_neural_pde_tpu.config import Config
 from graph_neural_pde_tpu.ops.graph import Graph
-from graph_neural_pde_tpu.ops.scatter import segment_softmax, segment_squareplus
+from graph_neural_pde_tpu.ops.scatter import (
+    segment_softmax,
+    segment_squareplus,
+    segment_sum,
+)
 from graph_neural_pde_tpu.models.layers import linear_apply, linear_init
 
 
@@ -174,6 +178,41 @@ def _normalize_scores(prods, cfg: Config, g: Graph, stripe_plan=None):
             stripe_plan, prods,
             lambda: segment_softmax(prods, norm_index, g.num_nodes, g.mask))
     return segment_softmax(prods, norm_index, g.num_nodes, g.mask)
+
+
+def frozen_mean_attention(params, cfg: Config, x: jax.Array, g: Graph,
+                          edge_weight: Optional[jax.Array] = None):
+    """Head-MEAN attention as one padding-free 1-D [E] f32 array.
+
+    Numerically equal to ``jnp.mean(apply_transformer_attention(...)[0],
+    axis=1)`` (softmax is shift-invariant), but every per-edge array after
+    the raw scores is 1-D: [E, H]-shaped f32 HBM buffers tile at 16-64x
+    their logical bytes on v5e, and the frozen-attention freeze is what
+    GRAND-l training (every tuned best_params config,
+    function_laplacian_diffusion.py:28-36) runs at bench scale — the 2-D
+    form plus its overflow-fallback cond branch OOMed the 16 GB chip.
+    Normalisation here uses the exact per-segment max, so no fallback
+    branch exists to allocate.
+    """
+    prods, _ = transformer_scores(params, cfg, x, g, edge_weight)
+    norm_index = g.row if cfg.attention_norm_idx == 0 else g.col
+    h = prods.shape[1]
+    if cfg.square_plus:
+        # GLOBAL max over valid scores, all heads (reference utils.py:196)
+        gmax = jnp.max(jnp.where(g.mask[:, None], prods, -jnp.inf))
+        gmax = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
+    w = jnp.zeros((prods.shape[0],), jnp.float32)
+    for i in range(h):
+        s = prods[:, i].astype(jnp.float32)
+        if cfg.square_plus:
+            sm = s - gmax
+            u = (sm + jnp.sqrt(sm * sm + 4.0)) * 0.5
+            u = jnp.where(g.mask, u, 0.0)
+            den = segment_sum(u, norm_index, g.num_nodes)
+            w = w + u / (den[norm_index] + 1e-16)
+        else:
+            w = w + segment_softmax(s, norm_index, g.num_nodes, g.mask)
+    return w / h
 
 
 def apply_transformer_attention(params, cfg: Config, x: jax.Array, g: Graph,

@@ -252,7 +252,26 @@ def build_aux(bparams, cfg: Config, g: Graph, x, training: bool,
         # block_transformer_rewiring.py:185-241); its densify/sparsify graph
         # surgery runs as between-epoch host hooks (rewiring.edges) because
         # resizing edge_index inside the solve would recompile every epoch.
-        att = _block_attention(bparams, cfg, g, x, stripe_plan)          # [E, H]
+        if cfg.function == "laplacian":
+            # GRAND-l (every tuned best_params config) consumes only the
+            # HEAD-MEAN attention (sparse_multiply dispatch,
+            # function_laplacian_diffusion.py:28-36). Reduce to the 1-D [E]
+            # mean HERE and rematerialise the freeze in backward: [E, H]-
+            # and [E, heads_pad]-shaped f32 intermediates HBM-tile at
+            # 16-128x their logical bytes on TPU, and keeping them out of
+            # the training residual set is the difference between bench-
+            # scale GRAND-l training fitting (measured round 5) and OOMing
+            # at 18.7 GB / 15.75 GB.
+            from graph_neural_pde_tpu.models.attention import (
+                frozen_mean_attention)
+
+            def _frozen_mean_att(bp, xx):
+                return frozen_mean_attention(bp["att"], cfg, xx, g,
+                                             edge_weight=g.weight)
+
+            att = jax.checkpoint(_frozen_mean_att)(bparams, x)
+        else:
+            att = _block_attention(bparams, cfg, g, x, stripe_plan)  # [E, H]
         return FuncAux(attention=att, x0=x0, edge_weight=g.weight), g
 
     if cfg.block == "mixed":

@@ -70,8 +70,14 @@ def expm_multiply_cheby(matvec: Callable, y0, T: float, *,
         return (b0, b1), None
 
     zeros = jnp.zeros_like(y0)
-    # iterate k = K..1, then close with the k=0 half-term
-    (b1, b2), _ = jax.lax.scan(clenshaw_step, (zeros, zeros), coef[1:][::-1])
+    # iterate k = K..1, then close with the k=0 half-term. The step is
+    # checkpointed: backprop-through-scan otherwise TAPES every step's
+    # internals — at graph scale that is a [terms, E, D] edge-payload tape
+    # (measured 25 GB at the arxiv-scale bench; HBM is 16 GB). Remat keeps
+    # only the [N, D] carries per term and recomputes the matvec in the
+    # backward sweep.
+    (b1, b2), _ = jax.lax.scan(jax.checkpoint(clenshaw_step),
+                               (zeros, zeros), coef[1:][::-1])
     return coef[0] * y0 + s_op(b1) - b2
 
 
@@ -127,8 +133,10 @@ def linear_diffusion_solve(spmm_weighted: Callable, x0_state, alpha, beta,
         return (b0, b1), None
 
     zeros = jnp.zeros_like(x0_state)
-    (b1, b2), _ = jax.lax.scan(clenshaw_step, (zeros, zeros),
-                               (a_scan, s_scan))
+    # checkpointed for the same reason as expm_multiply_cheby: the scan tape
+    # must hold [N, d] carries, never the per-term [E, d] gather payloads
+    (b1, b2), _ = jax.lax.scan(jax.checkpoint(clenshaw_step),
+                               (zeros, zeros), (a_scan, s_scan))
     coef0 = jnp.asarray(float(coef[0]), jnp.float32)
     yT = (coef0 * x0_state + s_op_y(b1) + (T / r) * s_close * src_term - b2)
     return yT, jnp.asarray(k_terms + 1, jnp.int32)

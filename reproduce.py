@@ -266,6 +266,22 @@ def run_one(name: str, data_dir: str, reps: int, epochs: int | None,
         tol = max(j["ci95"] + t["ci95"], 0.02)
         out["torch_gap"] = gap
         out["torch_overlap"] = bool(gap <= tol)
+        # the real parity bar (VERDICT r4 #1): |jax - torch| must lie within
+        # two combined standard errors of the mean difference,
+        # 2·sqrt(sem_j² + sem_t²) — a z≈2 test on the gap, not CI overlap
+        comb_sem = float(np.sqrt(j["sem"] ** 2 + t["sem"] ** 2))
+        out["torch_bar_2sem"] = 2.0 * comb_sem
+        out["torch_within_2sem"] = bool(gap <= 2.0 * comb_sem)
+        # discriminative band: both means must sit off the floor AND the
+        # ceiling so a modelling defect of a few percent would move them
+        out["in_band"] = bool(0.35 <= j["mean"] <= 0.90
+                              and 0.35 <= t["mean"] <= 0.90)
+        if verbose:
+            print(f"  [{name}] jax {j['mean']:.4f}±{j['sem']:.4f} "
+                  f"torch {t['mean']:.4f}±{t['sem']:.4f} "
+                  f"gap {gap:.4f} vs 2·SEM bar {2*comb_sem:.4f} "
+                  f"({'within' if out['torch_within_2sem'] else 'EXCEEDS'}; "
+                  f"{'in-band' if out['in_band'] else 'OUT-OF-BAND'})")
     return out
 
 
@@ -355,8 +371,13 @@ def main():
         if "torch_test" in r:
             tt = r["torch_test"]
             verdict = "overlap" if r["torch_overlap"] else "GAP"
+            sem_verdict = ("within" if r["torch_within_2sem"]
+                           else "EXCEEDS")
+            band = "in-band" if r.get("in_band") else "OUT-OF-BAND"
             extra = (f" torch {tt['mean']:.4f} ± {tt['ci95']:.4f} "
-                     f"Δ{r['torch_gap']:.4f} ({verdict})")
+                     f"Δ{r['torch_gap']:.4f} vs 2·SEM bar "
+                     f"{r['torch_bar_2sem']:.4f} ({sem_verdict}; {verdict}; "
+                     f"{band})")
         print(f"| {r['dataset']} | {tag} | {t['mean']:.4f} ± {t['sem']:.4f} "
               f"(± {t['ci95']:.4f}){extra} | {v['mean']:.4f} |")
     with open(args.out, "w") as f:
