@@ -68,17 +68,59 @@ def main():
     t = timeit(frozen_fwd, att_p, xh)
     print(f"a) frozen_mean_attention fwd: {t*1000:.1f} ms", file=sys.stderr)
 
+    # random cotangent: sum(w) is ~constant (softmax weights sum to 1 per
+    # row), so a plain-sum loss has a ~zero true gradient and would compare
+    # rounding noise
+    wprobe = jnp.asarray(
+        np.random.default_rng(7).normal(size=(gp.row.shape[0],)), jnp.float32)
+
     @jax.jit
     def frozen_grad(ap, xx):
         return jax.grad(
             lambda a, x_: jnp.sum(
                 frozen_mean_attention(a, cfg, x_, gp,
-                                      edge_weight=gp.weight)),
+                                      edge_weight=gp.weight) * wprobe),
             argnums=(0, 1))(ap, xx)
 
     t = timeit(frozen_grad, att_p, xh)
     print(f"b) grad(frozen_mean_attention) wrt (att, x): {t*1000:.1f} ms",
           file=sys.stderr)
+
+    @jax.jit
+    def frozen_fwd_stripe(ap, xx):
+        return frozen_mean_attention(ap, cfg, xx, gp, edge_weight=gp.weight,
+                                     stripe_plan=plan)
+
+    t = timeit(frozen_fwd_stripe, att_p, xh)
+    print(f"a2) frozen_mean_attention[stripe] fwd: {t*1000:.1f} ms",
+          file=sys.stderr)
+
+    @jax.jit
+    def frozen_grad_stripe(ap, xx):
+        return jax.grad(
+            lambda a, x_: jnp.sum(
+                frozen_mean_attention(a, cfg, x_, gp, edge_weight=gp.weight,
+                                      stripe_plan=plan) * wprobe),
+            argnums=(0, 1))(ap, xx)
+
+    t = timeit(frozen_grad_stripe, att_p, xh)
+    print(f"b2) grad(frozen_mean_attention[stripe]): {t*1000:.1f} ms",
+          file=sys.stderr)
+    # on-device oracle: stripe vs exact composition, fwd + grad
+    wf = jax.device_get(frozen_fwd_stripe(att_p, xh))
+    we = jax.device_get(frozen_fwd(att_p, xh))
+    err = float(np.abs(wf - we).max())
+    gf = jax.device_get(frozen_grad_stripe(att_p, xh))
+    ge = jax.device_get(frozen_grad(att_p, xh))
+    fl_f = jax.tree_util.tree_leaves(gf)
+    fl_e = jax.tree_util.tree_leaves(ge)
+    scale = max(float(np.abs(l).max()) for l in fl_e) + 1e-12
+    worst = max(float(np.abs(np.asarray(a, np.float64)
+                             - np.asarray(b, np.float64)).max())
+                for a, b in zip(fl_f, fl_e))
+    print(f"   stripe-vs-exact on device: fwd |Δ|max {err:.2e}, "
+          f"grad |Δ|/scale {worst/scale:.2e}", file=sys.stderr)
+    assert err < 1e-4 and worst / scale < 1e-3
 
     rhs = make_rhs(cfg, gp, spmm_fn=m_l.spmm_fn, stripe_plan=plan)
     w_const = jax.lax.stop_gradient(frozen_fwd(att_p, xh))

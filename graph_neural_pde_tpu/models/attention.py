@@ -181,21 +181,70 @@ def _normalize_scores(prods, cfg: Config, g: Graph, stripe_plan=None):
 
 
 def frozen_mean_attention(params, cfg: Config, x: jax.Array, g: Graph,
-                          edge_weight: Optional[jax.Array] = None):
+                          edge_weight: Optional[jax.Array] = None,
+                          stripe_plan=None):
     """Head-MEAN attention as one padding-free 1-D [E] f32 array.
 
     Numerically equal to ``jnp.mean(apply_transformer_attention(...)[0],
-    axis=1)`` (softmax is shift-invariant), but every per-edge array after
-    the raw scores is 1-D: [E, H]-shaped f32 HBM buffers tile at 16-64x
-    their logical bytes on v5e, and the frozen-attention freeze is what
-    GRAND-l training (every tuned best_params config,
-    function_laplacian_diffusion.py:28-36) runs at bench scale — the 2-D
-    form plus its overflow-fallback cond branch OOMed the 16 GB chip.
-    Normalisation here uses the exact per-segment max, so no fallback
-    branch exists to allocate.
+    axis=1)`` (softmax is shift-invariant). The frozen-attention freeze is
+    what GRAND-l training (every tuned best_params config,
+    function_laplacian_diffusion.py:28-36) runs once per step.
+
+    Two engines, one residual discipline (the caller checkpoints this, so
+    only the [E] output survives into the training residual set — [E, H]
+    f32 HBM buffers tile at 16-128x their logical bytes on v5e and OOMed
+    the 16 GB chip when kept):
+
+    * stripe (plan given, row-normalised): scores through the MXU one-hot
+      row gather, exp/denominator through the stripe scatter/gather f32
+      kernels, a GLOBAL stop-gradient max shift (no per-row first-slot
+      gather, no in-checkpoint exact branch). A row whose every score
+      underflows the global shift yields den=0 → w poisoned to NaN, and
+      ONE lax.cond outside re-runs the exact 1-D composition — the same
+      poison-and-resolve discipline as the solver fast path. Measured
+      (probe15): the 1-D XLA composition below costs 317 ms fwd + 742 ms
+      grad at arxiv scale — ~45% of the whole GRAND-l train step; the
+      stripe path's ops measure in single-digit ms.
+    * composition (no plan / norm_idx=1 / CPU): every per-edge array after
+      the raw scores is 1-D [E]; normalisation uses the exact per-segment
+      max, so it never needs a fallback. This is also the oracle the
+      stripe path is verified against on device (bench.py).
     """
-    prods, _ = transformer_scores(params, cfg, x, g, edge_weight)
     norm_index = g.row if cfg.attention_norm_idx == 0 else g.col
+    use_stripe = (stripe_plan is not None and cfg.attention_norm_idx == 0
+                  and g.rows_sorted
+                  and g.row.shape[0] == stripe_plan.capacity)
+    if use_stripe:
+        from graph_neural_pde_tpu.ops.pallas.stripe import (
+            stripe_gather_f32, stripe_scatter_add_f32)
+        prods, _ = transformer_scores(params, cfg, x, g, edge_weight,
+                                      stripe_plan=stripe_plan)
+        h = prods.shape[1]
+        s = prods.astype(jnp.float32)
+        v1 = jnp.asarray(stripe_plan.valid, jnp.float32)[:, None]
+        gmax = jax.lax.stop_gradient(
+            jnp.max(jnp.where(v1 > 0, s, -jnp.inf)))
+        gmax = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
+        if cfg.square_plus:
+            sm = s - gmax
+            u = (sm + jnp.sqrt(sm * sm + 4.0)) * 0.5 * v1
+        else:
+            u = jnp.exp(s - gmax) * v1
+        hp = max(8, h)
+        if hp > h:
+            u = jnp.pad(u, ((0, 0), (0, hp - h)))
+        den = stripe_scatter_add_f32(stripe_plan, u)        # [N, hp]
+        den_e = stripe_gather_f32(stripe_plan, den)
+        # poison semantics: a valid row with den=0 (full underflow of the
+        # global shift — impossible for squareplus, which is why it takes
+        # the same expression) must NOT silently zero its weights; 0/0=NaN
+        # propagates to the caller's finite-check. Invalid slots divide by
+        # a sanitised 1 (the double-where: dividing by their true den=0
+        # would poison the GRADIENT through the untaken where-branch).
+        den_safe = jnp.where(v1 > 0, den_e[:, :h], 1.0)
+        w2 = jnp.where(v1 > 0, u[:, :h], 0.0) / den_safe
+        return jnp.mean(w2, axis=1)
+    prods, _ = transformer_scores(params, cfg, x, g, edge_weight)
     h = prods.shape[1]
     if cfg.square_plus:
         # GLOBAL max over valid scores, all heads (reference utils.py:196)

@@ -117,21 +117,6 @@ def build_stripe_engine(cfg: Config, g: Graph):
         enabled = _on_tpu()
     if not enabled or not (fused_att or lap):
         return g, None
-    if cfg.edge_sampling or cfg.fa_layer:
-        # the plan's index arrays are trace-time constants; edge_sampling's
-        # densify/sparsify and the fa_layer's second denser graph change the
-        # DEGREE LAYOUT arbitrarily between epochs, staling the plan — keep
-        # the XLA engine. rewire_KNN is allowed (round 4): its epoch hook
-        # rebuilds the plan with the graph (GNNKNNModel.rewire), the
-        # Trainer keys its compiled steps by plan identity, and the
-        # k-regular kNN layout makes every post-first-rewire plan identical
-        # (one retrace total).
-        if cfg.stripe_fused:   # warn only when explicitly requested
-            import sys
-            print("[stripe] stripe_fused disabled: runtime edge surgery "
-                  "(edge_sampling/fa_layer) would stale the static stripe "
-                  "plan", file=sys.stderr)
-        return g, None
     import numpy as np
     from graph_neural_pde_tpu.ops.pallas.stripe import build_stripe_plan
     assert g.rows_sorted, "prepare_graph must run before build_stripe_engine"
@@ -159,13 +144,18 @@ def build_stripe_engine(cfg: Config, g: Graph):
     # gather + the MXU stripe scatter instead of XLA's unsorted scatter-add;
     # symmetric edge sets additionally unlock the reverse-edge backward
     # (no permutation at all — see fused_rhs._bwd_sym_kernel).
-    # rewire_KNN configs SKIP both: their between-epoch hook swaps edge
-    # CONTENT (traced) under a row-layout-stable plan, and col_plan/
-    # symmetric are col-content-dependent — without them the fused RHS
-    # takes the row-plan-only fused_rhs_ax path whose backward handles the
-    # col side with traced indices, so one plan serves every rewire of the
-    # same k-regular layout (one retrace at the first rewire only).
-    if not cfg.rewire_KNN:
+    # RUNTIME-REWIRING configs (rewire_KNN, edge_sampling, fa_layer — all
+    # between-epoch graph surgery, round 5 extends the round-4 rewire_KNN
+    # machinery to the other two) SKIP both: their hooks swap edge CONTENT
+    # (traced) under plans rebuilt per surgery, and col_plan/symmetric are
+    # col-content-dependent — a layout_equal rebuild keeps the old plan
+    # OBJECT for the Trainer's executable cache, which would alias stale
+    # col structure. Without them the fused RHS takes the row-plan-only
+    # fused_rhs_ax path whose backward handles the col side with traced
+    # indices, so one plan serves every rewire of an identical layout
+    # (k-regular kNN: one retrace at the first rewire only; edge_sampling:
+    # one retrace per distinct sampled layout, LRU-bounded).
+    if not (cfg.rewire_KNN or cfg.edge_sampling or cfg.fa_layer):
         import dataclasses as _dc
         from graph_neural_pde_tpu.ops.pallas.stripe import (
             attach_col_plan, edges_symmetric)
@@ -267,9 +257,25 @@ def build_aux(bparams, cfg: Config, g: Graph, x, training: bool,
 
             def _frozen_mean_att(bp, xx):
                 return frozen_mean_attention(bp["att"], cfg, xx, g,
-                                             edge_weight=g.weight)
+                                             edge_weight=g.weight,
+                                             stripe_plan=stripe_plan)
 
             att = jax.checkpoint(_frozen_mean_att)(bparams, x)
+            if stripe_plan is not None and not cfg.square_plus:
+                # stripe fast path poisons w with NaN when a row fully
+                # underflows its global-max shift; ONE cond outside the
+                # freeze re-runs the exact 1-D composition (same
+                # poison-and-resolve discipline as the solver fast path —
+                # the branch's buffers are padding-free 1-D)
+                def _frozen_exact(bp, xx):
+                    return frozen_mean_attention(bp["att"], cfg, xx, g,
+                                                 edge_weight=g.weight)
+
+                bad = jnp.any(~jnp.isfinite(att))
+                att = jax.lax.cond(
+                    bad,
+                    lambda a: jax.checkpoint(_frozen_exact)(*a),
+                    lambda a: att, (bparams, x))
         else:
             att = _block_attention(bparams, cfg, g, x, stripe_plan)  # [E, H]
         return FuncAux(attention=att, x0=x0, edge_weight=g.weight), g

@@ -97,6 +97,29 @@ class GNNModel:
             self.spmm_fn = make_stripe_spmm(self.graph, self.stripe_plan,
                                             pay)
 
+    def _spmm_for(self, g, graph_arg):
+        """The laplacian aggregation engine for one apply() call.
+
+        When the caller passes a TRACED graph (run.py always does; the
+        between-epoch rewiring hooks — kNN / edge_sampling — swap edge
+        CONTENT under a layout-stable plan), the stripe spmm closure must
+        read col/mask/weight from THAT graph: ``self.spmm_fn`` closes over
+        the arrays captured at the last ``_build_engines()``, and a
+        layout_equal plan rebuild keeps the old plan object (so the
+        Trainer's compiled step is reused) — a baked closure would alias
+        the PRE-surgery columns. Only safe to rebuild per-call when the
+        plan carries no col-content-dependent structure (col_plan is
+        skipped for every runtime-rewiring config, see
+        build_stripe_engine)."""
+        if (graph_arg is None or self.spmm_fn is None
+                or self.stripe_plan is None
+                or self.stripe_plan.col_plan is not None):
+            return self.spmm_fn
+        from graph_neural_pde_tpu.ops.spmm import make_stripe_spmm
+        pay = (jnp.bfloat16 if self.cfg.rhs_payload_dtype == "bfloat16"
+               else None)
+        return make_stripe_spmm(g, self.stripe_plan, pay)
+
     def init(self, key):
         cfg = self.cfg
         ks = jax.random.split(key, 8)
@@ -173,8 +196,12 @@ class GNNModel:
 
     # ------------------------------------------------------------------
     def apply(self, params, state, x, pos_encoding=None, training: bool = False,
-              rng: Optional[jax.Array] = None, graph: Optional[Graph] = None):
-        """Full forward. Returns (logits, new_state, solver_stats, reg_states)."""
+              rng: Optional[jax.Array] = None, graph: Optional[Graph] = None,
+              fa_graph: Optional[Graph] = None):
+        """Full forward. Returns (logits, new_state, solver_stats, reg_states).
+
+        ``fa_graph`` is accepted for Trainer-signature compatibility with
+        the kNN models (which consume it); plain GNNModel ignores it."""
         if rng is None:
             rng = jax.random.PRNGKey(0)
         k_enc, k_dec = jax.random.split(rng)
@@ -185,7 +212,7 @@ class GNNModel:
             x0 = jnp.pad(x0, ((0, g.num_nodes - n), (0, 0)))
         z, stats, reg_states = block_forward(params["block"], self.cfg, g,
                                              x0, training,
-                                             spmm_fn=self.spmm_fn,
+                                             spmm_fn=self._spmm_for(g, graph),
                                              stripe_plan=self.stripe_plan)
         z = z[:n]
         logits = self.decode(params, z, training, k_dec)

@@ -38,6 +38,9 @@ class GNNKNNModel(GNNModel):
         # (GNN_KNN.py:65-71)
         self.fa_cfg = cfg.replace(method="rk4", time=1.0, step_size=1.0,
                                   adjoint=False)
+        self.fa_graph = None
+        self.fa_plan = None
+        self.fa_spmm_fn = None
 
     # -- rewiring probes ---------------------------------------------------
     def solve_ode(self, params, state, x, pos_encoding=None, rng=None,
@@ -47,8 +50,13 @@ class GNNKNNModel(GNNModel):
             rng = jax.random.PRNGKey(0)
         g = graph if graph is not None else self.graph
         x0, _ = self.encode(params, state, x, pos_encoding, False, rng)
-        z, _, _ = block_forward(params["block"], self.cfg, g, x0, False)
-        return z
+        n = x0.shape[0]
+        if g.num_nodes > n:  # plan layout pads the node count to block_n
+            x0 = jnp.pad(x0, ((0, g.num_nodes - n), (0, 0)))
+        z, _, _ = block_forward(params["block"], self.cfg, g, x0, False,
+                                spmm_fn=self._spmm_for(g, graph),
+                                stripe_plan=self.stripe_plan)
+        return z[:n]
 
     def embeddings_for_rewiring(self, params, state, x, pos_encoding=None):
         """Z per cfg.rewire_KNN_T ∈ {raw, T0, TN} (apply_KNN,
@@ -94,7 +102,8 @@ class GNNKNNModel(GNNModel):
 
     # -- forward with fa layer ----------------------------------------------
     def apply(self, params, state, x, pos_encoding=None, training=False,
-              rng=None, graph: Optional[Graph] = None):
+              rng=None, graph: Optional[Graph] = None,
+              fa_graph: Optional[Graph] = None):
         cfg = self.cfg
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -102,19 +111,71 @@ class GNNKNNModel(GNNModel):
         g = graph if graph is not None else self.graph
         x0, new_state = self.encode(params, state, x, pos_encoding, training,
                                     k_enc)
-        z, stats, regs = block_forward(params["block"], cfg, g, x0, training)
+        n = x0.shape[0]
+        if g.num_nodes > n:  # plan layout pads the node count to block_n
+            x0 = jnp.pad(x0, ((0, g.num_nodes - n), (0, 0)))
+        z, stats, regs = block_forward(params["block"], cfg, g, x0, training,
+                                       spmm_fn=self._spmm_for(g, graph),
+                                       stripe_plan=self.stripe_plan)
         if cfg.fa_layer:
-            g_fa = getattr(self, "fa_graph", None) or g
+            # second short solve on the densified graph (GNN_KNN.py:65-83),
+            # optionally on its own stripe engine (see set_fa_graph).
+            # ``fa_graph`` arrives TRACED from the Trainer so between-epoch
+            # rebuilds at stable capacity reuse the executable.
+            g_fa = fa_graph if fa_graph is not None else (
+                self.fa_graph if self.fa_graph is not None else g)
+            n_main = z.shape[0]
+            if g_fa.num_nodes > n_main:
+                z = jnp.pad(z, ((0, g_fa.num_nodes - n_main), (0, 0)))
+            elif g_fa.num_nodes < n_main:
+                z = z[: g_fa.num_nodes]
             z, _, _ = block_forward(params["block"], self.fa_cfg, g_fa, z,
-                                    False)
+                                    False, spmm_fn=self.fa_spmm_fn,
+                                    stripe_plan=self.fa_plan)
+        z = z[:n]
         logits = self.decode(params, z, training, k_dec)
         return logits, new_state, stats, regs
 
-    def build_fa_graph(self, rng: np.random.Generator, add_frac: float = 0.5):
-        """Densified graph for the fa layer (add_edges at GNN_KNN.py:73-76)."""
-        self.fa_graph = add_random_edges(self.graph, add_frac, rng,
-                                         capacity=None)
+    def set_fa_graph(self, raw: Graph) -> Graph:
+        """Install a (host-built) fa graph; optionally its stripe engine.
+
+        The reference rebuilds the fa edge set INSIDE every forward
+        (GNN_KNN.py:73-77: add_edges + attention edge_sampling at the
+        current z); resizing edge_index inside a jitted solve would
+        recompile per step, so here the rebuild runs as a between-epoch
+        host hook (run.py) — the same static-shape discipline as the
+        edge_sampling and kNN surgery. The fa graph is threaded into the
+        compiled steps as a TRACED argument (Trainer), so per-epoch
+        rebuilds at a stable capacity reuse one executable.
+
+        The fa stripe engine is built only on EXPLICIT ``stripe_fused=True``:
+        random densification gives every epoch's fa graph a fresh degree
+        layout, so a plan rebuild means a retrace per epoch — worth it for
+        a bench/test run that asks for it, not as the CLI default (the
+        main solve rides its stripe engine either way)."""
+        self.fa_graph = raw.sort_by_row()
+        self.fa_plan = None
+        self.fa_spmm_fn = None
+        if self.cfg.stripe_fused is True:
+            from graph_neural_pde_tpu.models.blocks import (
+                build_stripe_engine)
+            self.fa_graph, self.fa_plan = build_stripe_engine(
+                self.fa_cfg, self.fa_graph)
+            if (self.fa_plan is not None
+                    and self.fa_cfg.function == "laplacian"):
+                from graph_neural_pde_tpu.ops.spmm import make_stripe_spmm
+                pay = (jnp.bfloat16
+                       if self.fa_cfg.rhs_payload_dtype == "bfloat16"
+                       else None)
+                self.fa_spmm_fn = make_stripe_spmm(self.fa_graph,
+                                                   self.fa_plan, pay)
         return self.fa_graph
+
+    def build_fa_graph(self, rng: np.random.Generator, add_frac: float = 0.5):
+        """Densified graph for the fa layer (add_edges at GNN_KNN.py:73-76),
+        plus its dedicated stripe engine (plan + laplacian spmm closure)."""
+        return self.set_fa_graph(
+            add_random_edges(self.graph, add_frac, rng, capacity=None))
 
 
 class GNNKNNEarlyModel(GNNKNNModel, GNNEarlyModel):

@@ -320,9 +320,14 @@ def _gather_kernel(cr_ref, rowl_ref, tab_ref, out_ref, *, chunk, block_n,
     # fast path, M-tall ones are not
     iota = jax.lax.broadcasted_iota(jnp.int32, (block_n, chunk), 0)
     pt = (rowl_ref[:][None, :] == iota).astype(dtype)
+    # f32 inputs still run the MXU's single bf16 pass at DEFAULT precision
+    # (measured: ~3e-3 relative error on the "full-precision" gather);
+    # HIGHEST forces the multi-pass f32 emulation for the exact paths
+    prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     out_ref[:] = jax.lax.dot_general(
         pt, tab_ref[:].astype(dtype), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32, precision=prec)
 
 
 def _stripe_gather_call(plan: StripePlan, table: jax.Array,
@@ -368,8 +373,11 @@ def _scatter_kernel(cr_ref, rowl_ref, vals_ref, out_ref, *, chunk, block_n,
     # s[i, e] = (row_local[e] == i): compare against the ROW index
     iota = jax.lax.broadcasted_iota(jnp.int32, (block_n, chunk), 0)
     s = (rowl_ref[:][None, :] == iota).astype(dtype)
+    prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     out_ref[:] += jnp.dot(s, vals_ref[:].astype(dtype),
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=prec)
 
 
 def _stripe_scatter_call(plan: StripePlan, vals: jax.Array,

@@ -167,6 +167,11 @@ def main(cfg: Config, data_dir: str = "./data", verbose: bool = True,
             def mean_att(graph):
                 x0, _ = model.encode(params, state, dataset.x, pos_encoding,
                                      False, _jax.random.PRNGKey(0))
+                if graph.num_nodes > x0.shape[0]:
+                    # stripe-plan graphs pad the node count to block_n
+                    import jax.numpy as _jnp2
+                    x0 = _jnp2.pad(
+                        x0, ((0, graph.num_nodes - x0.shape[0]), (0, 0)))
                 att_params = params["block"].get(
                     "att", params["block"]["func"].get("att"))
                 if att_params is None:
@@ -195,7 +200,47 @@ def main(cfg: Config, data_dir: str = "./data", verbose: bool = True,
                 model.graph = apply_edge_sampling(
                     model.graph, cfg, mean_att,
                     np.random.default_rng(cfg.seed + epoch * 131 + rep),
-                    capacity=model.graph.capacity)
+                    capacity=model.graph.capacity).sort_by_row()
+            # rebuild the Pallas engines against the sampled graph (round 5:
+            # edge_sampling rides the stripe engine — plans rebuilt per
+            # surgery, compiled steps keyed by plan identity like the kNN
+            # rewiring hook)
+            model._build_engines()
+
+        if cfg.fa_layer and hasattr(model, "set_fa_graph"):
+            # rebuild the fa-layer graph from the current model (the
+            # reference rebuilds it INSIDE every forward — add_edges +
+            # attention edge_sampling at the evolved z, GNN_KNN.py:73-77;
+            # here it is between-epoch host surgery at static shapes, with
+            # a dedicated stripe plan per rebuild)
+            from graph_neural_pde_tpu.rewiring.edges import (
+                apply_edge_sampling as _aes)
+            import jax as _jax2
+
+            def mean_att_fa(graph):
+                z = model.solve_ode(params, state, dataset.x, pos_encoding,
+                                    rng=_jax2.random.PRNGKey(0))
+                if graph.num_nodes > z.shape[0]:
+                    import jax.numpy as _jnp3
+                    z = _jnp3.pad(
+                        z, ((0, graph.num_nodes - z.shape[0]), (0, 0)))
+                from graph_neural_pde_tpu.models.attention import (
+                    apply_transformer_attention as _ata)
+                att_params = params["block"].get(
+                    "att", params["block"]["func"].get("att"))
+                att, _ = _ata(att_params, cfg, z, graph,
+                              edge_weight=graph.weight)
+                import jax.numpy as _jnp4
+                return np.asarray(_jnp4.mean(att, axis=1))
+
+            cfg_fa = cfg.replace(
+                edge_sampling_rmv=cfg.fa_layer_edge_sampling_rmv)
+            fa_cap = (model.fa_graph.capacity
+                      if model.fa_graph is not None else None)
+            model.set_fa_graph(_aes(
+                model.graph, cfg_fa, mean_att_fa,
+                np.random.default_rng(cfg.seed + epoch * 137),
+                capacity=fa_cap))
 
         key, k_step = jax.random.split(key)
         params, state, opt_state, loss, tstats = trainer._train_step(

@@ -202,14 +202,16 @@ class Trainer:
         # reusing a stale executable against a re-planned graph would be
         # silently wrong. layout-equal rebuilds keep the old plan OBJECT,
         # so only a genuinely new layout (the first kNN rewire) retraces.
-        plan_tok = id(getattr(self.model, "stripe_plan", None))
+        plan_tok = (id(getattr(self.model, "stripe_plan", None)),
+                    id(getattr(self.model, "fa_plan", None)))
         key = (id(x), id(pos), id(y), id(train_mask), plan_tok)
         entry = self._step_cache.get(key)
         if entry is None:
-            def impl(params, state, opt_state, rng, graph=None):
+            def impl(params, state, opt_state, rng, graph=None,
+                     fa_graph=None):
                 return self._train_step_impl(params, state, opt_state, x,
                                              pos, y, train_mask, rng,
-                                             graph=graph)
+                                             graph=graph, fa_graph=fa_graph)
 
             if len(self._step_cache) >= 4:      # bound executable count
                 self._step_cache.pop(next(iter(self._step_cache)))
@@ -218,9 +220,16 @@ class Trainer:
                                              None)))
             self._step_cache[key] = entry
         fn = entry[0]
+        # the fa graph is traced alongside the main graph: between-epoch fa
+        # rebuilds (run.py fa hook) swap edge CONTENT at stable capacity —
+        # baking it as a trace-time closure would pin epoch-1's fa edges
+        # into every later step
+        fa = getattr(self.model, "fa_graph", None)
         if graph is None:
             return fn(params, state, opt_state, rng)
-        return fn(params, state, opt_state, rng, graph)
+        if fa is None:
+            return fn(params, state, opt_state, rng, graph)
+        return fn(params, state, opt_state, rng, graph, fa)
 
     # -- label diffusion (run_GNN.py:39-59) --------------------------------
     def _with_labels(self, x, y, label_mask):
@@ -233,7 +242,7 @@ class Trainer:
     # of model.graph — between-epoch rewiring swaps the graph arrays, and a
     # trace-time capture would silently keep using the original graph.
     def _train_step_impl(self, params, state, opt_state, x, pos, y,
-                         train_mask, rng, graph=None):
+                         train_mask, rng, graph=None, fa_graph=None):
         if self.cfg.use_labels:
             rng, k_lab = jax.random.split(rng)
             # split the train nodes into label-carrying and prediction nodes
@@ -241,9 +250,12 @@ class Trainer:
             coin = jax.random.uniform(k_lab, train_mask.shape) < self.cfg.label_rate
             x = self._with_labels(x, y, (train_mask & coin).astype(x.dtype))
 
+        fa_kw = {} if fa_graph is None else {"fa_graph": fa_graph}
+
         def loss_fn(p):
             logits, new_state, stats, regs = self.model.apply(
-                p, state, x, pos, training=True, rng=rng, graph=graph)
+                p, state, x, pos, training=True, rng=rng, graph=graph,
+                **fa_kw)
             loss = cross_entropy_loss(logits, y, train_mask)
             for coeff, rs in zip(self.reg_coeffs, regs):
                 if coeff:
@@ -268,20 +280,28 @@ class Trainer:
 
     def _eval_step(self, *args, **kwargs):
         plan = getattr(self.model, "stripe_plan", None)
-        entry = self._eval_cache.get(id(plan))
+        fa_plan = getattr(self.model, "fa_plan", None)
+        key = (id(plan), id(fa_plan))
+        entry = self._eval_cache.get(key)
         if entry is None:
             if len(self._eval_cache) >= 4:
                 self._eval_cache.pop(next(iter(self._eval_cache)))
-            entry = (jax.jit(self._eval_step_impl), plan)
-            self._eval_cache[id(plan)] = entry
+            entry = (jax.jit(self._eval_step_impl), plan, fa_plan)
+            self._eval_cache[key] = entry
+        fa = getattr(self.model, "fa_graph", None)
+        if fa is not None and "fa_graph" not in kwargs:
+            kwargs = dict(kwargs, fa_graph=fa)
         return entry[0](*args, **kwargs)
 
-    def _eval_step_impl(self, params, state, x, pos, y, masks, graph=None):
+    def _eval_step_impl(self, params, state, x, pos, y, masks, graph=None,
+                        fa_graph=None):
         if self.cfg.use_labels:
             # at test time every train node carries its label (run_GNN.py:141-142)
             x = self._with_labels(x, y, masks[0].astype(x.dtype))
+        fa_kw = {} if fa_graph is None else {"fa_graph": fa_graph}
         logits, _, stats, _ = self.model.apply(params, state, x, pos,
-                                               training=False, graph=graph)
+                                               training=False, graph=graph,
+                                               **fa_kw)
         accs = tuple(accuracy(logits, y, m) for m in masks)
         return accs, logits, stats
 
