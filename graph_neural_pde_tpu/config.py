@@ -157,6 +157,12 @@ class Config:
     # sparsity) or 'pallas_blocked' (one-hot MXU kernels over node blocks;
     # best for block-local graphs: pixel grids, clustered/reordered graphs)
     spmm_impl: str = "xla"
+    # multi-chip aggregation collective schedule (parallel.shard_spmm):
+    # 'allreduce' — per-shard [N, D] partials merged by one psum (default);
+    # 'stream' — edge-streaming ring (make_sharded_spmm_stream): rows block-
+    # sharded, x blocks ride nd−1 collective-permutes of [N/nd, D] each —
+    # half the AllReduce bytes, result stays row-sharded for chained matvecs
+    shard_spmm_mode: str = "allreduce"
     # route the fused attention RHS's row-side gather and aggregation scatter
     # through the stripe MXU kernels (ops/pallas/stripe.py). None = AUTO:
     # ON when the backend is a TPU (every eligible config — including all

@@ -198,3 +198,105 @@ def make_sharded_stripe_spmm(mesh: Mesh, g: Graph, *, block_n: int = 128,
         return sharded(rl_st, vd_st, cr_st, col_st, perm_st, x, w)[:n]
 
     return spmm_fn
+
+
+def make_sharded_spmm_stream(mesh: Mesh, g: Graph, axis_name: str = "edges"):
+    """Edge-STREAMING ring spmm (VERDICT r4 #9; Config.shard_spmm_mode
+    'stream'): the exact-collective alternative to the AllReduce schedule.
+
+    Layout: rows are block-sharded over the ring (device d owns rows
+    [d·blk, (d+1)·blk)); edges live on the device that owns their ROW,
+    pre-bucketed on the host by COLUMN block at fixed per-bucket capacity.
+    At ring step k device d holds the x-block of device (d+k) mod nd,
+    aggregates its (row-block d, col-block d+k) bucket into its local
+    output rows, and ppermutes the block one hop — XLA overlaps the
+    permute with the next bucket's gather/scatter.
+
+    Collective schedule vs make_sharded_spmm: nd−1 collective-permutes of
+    [N/nd, D] each — (nd−1)/nd · N·D bytes one-way per matvec, HALF an
+    AllReduce's 2(nd−1)/nd, and the result lands ROW-SHARDED (P(axis) in
+    AND out), so chained matvecs (the Chebyshev solve's term scan, the
+    fixed-grid laplacian solve) never rebuild a replicated x between
+    evaluations. ``spmm_fn(x, w)``: x row-sharded (a replicated x is
+    sliced by shard_map), w replicated in VALID-EDGE bucket order is NOT
+    required — w is indexed per edge via the bucket's global edge slot, so
+    callers pass the same [capacity] w as the AllReduce path.
+    """
+    import numpy as np
+
+    nd = mesh.devices.size
+    n_orig = g.num_nodes
+    blk = -(-n_orig // nd)                        # ceil
+    n_pad = blk * nd
+
+    m = np.asarray(g.mask)
+    r = np.asarray(g.row)[m].astype(np.int64)
+    c = np.asarray(g.col)[m].astype(np.int64)
+    slot = np.where(m)[0].astype(np.int32)        # global edge slot (for w)
+
+    d_of = (r // blk).astype(np.int64)            # owning device (row block)
+    k_of = ((c // blk) - d_of) % nd               # ring offset of col block
+    # fixed per-(device, offset) bucket capacity = max over all buckets
+    counts = np.zeros((nd, nd), np.int64)
+    np.add.at(counts, (d_of, k_of), 1)
+    cap = max(int(counts.max()), 1)
+    b_rowl = np.zeros((nd, nd, cap), np.int32)    # row local to the device
+    b_coll = np.zeros((nd, nd, cap), np.int32)    # col local to the block
+    b_slot = np.zeros((nd, nd, cap), np.int32)    # global w index
+    b_mask = np.zeros((nd, nd, cap), bool)
+    fill = np.zeros((nd, nd), np.int64)
+    order = np.lexsort((k_of, d_of))
+    for e in order:
+        d, k = d_of[e], k_of[e]
+        j = fill[d, k]
+        fill[d, k] = j + 1
+        b_rowl[d, k, j] = r[e] - d * blk
+        b_coll[d, k, j] = c[e] - ((d + k) % nd) * blk
+        b_slot[d, k, j] = slot[e]
+        b_mask[d, k, j] = True
+
+    b_rowl = jnp.asarray(b_rowl)
+    b_coll = jnp.asarray(b_coll)
+    b_slot = jnp.asarray(b_slot)
+    b_mask = jnp.asarray(b_mask)
+    perm = [(i, (i - 1) % nd) for i in range(nd)]  # shift blocks down: after
+    # one step device d holds block d+1
+
+    def _shard_body(rowl, coll, eslot, emask, x_blk, w):
+        rowl, coll = rowl[0], coll[0]              # [nd, cap]
+        eslot, emask = eslot[0], emask[0]
+
+        def bucket(k, xb, out):
+            rl = jax.lax.dynamic_index_in_dim(rowl, k, keepdims=False)
+            cl = jax.lax.dynamic_index_in_dim(coll, k, keepdims=False)
+            es = jax.lax.dynamic_index_in_dim(eslot, k, keepdims=False)
+            em = jax.lax.dynamic_index_in_dim(emask, k, keepdims=False)
+            wv = jnp.where(em, w[es], 0.0)
+            return out + jax.ops.segment_sum(xb[cl] * wv[:, None], rl,
+                                             num_segments=blk)
+
+        # own block first, then permute-and-process nd−1 times — exactly
+        # (nd−1)/nd · N·D bytes one-way per matvec, no redundant last hop
+        out0 = bucket(0, x_blk, jnp.zeros_like(x_blk))
+
+        def step(k, carry):
+            xb, out = carry
+            xb = jax.lax.ppermute(xb, axis_name, perm)
+            return xb, bucket(k, xb, out)
+
+        _, out = jax.lax.fori_loop(1, nd, step, (x_blk, out0))
+        return out
+
+    sharded = shard_map(
+        _shard_body, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name),
+                  P(axis_name), P()),
+        out_specs=P(axis_name))
+
+    def spmm_fn(x, w):
+        if x.shape[0] < n_pad:
+            x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
+        out = sharded(b_rowl, b_coll, b_slot, b_mask, x, w)
+        return out[:n_orig]
+
+    return spmm_fn
