@@ -694,6 +694,7 @@ def main():
     # the reported metric.
     train_rate = None
     train_ms = {}
+    train_compile = {}
     rng_t = np.random.default_rng(1)
     y = jnp.asarray(rng_t.integers(0, nc, size=x.shape[0]), jnp.int32)
     mask = jnp.asarray(rng_t.random(x.shape[0]) < 0.5)
@@ -718,6 +719,7 @@ def main():
             nfe_t, dt_t, comp_t, bwd_nfe_t = _time_train(
                 m_t, params, state, x, y, mask)
             train_ms[mode] = dt_t * 1000.0
+            train_compile[mode] = comp_t
             rate = nfe_t * e_valid / dt_t
             train_rate = max(train_rate or 0.0, rate)
             print(f"# train[{mode}]: {dt_t*1000:.0f} ms/step fwd_nfe={nfe_t} "
@@ -933,6 +935,8 @@ def main():
         out["train_edge_updates_per_sec_nfe"] = round(train_rate, 1)
         for mode, ms in train_ms.items():
             out[f"train_step_ms_{mode}"] = round(ms, 1)
+        for mode, cs in train_compile.items():
+            out[f"train_warm_compile_s_{mode}"] = round(cs, 1)
     if cosine_rate is not None:
         out["grand_nl_cosine_edge_updates_per_sec_nfe"] = round(
             cosine_rate, 1)

@@ -152,6 +152,11 @@ def _build(row, col, weight, tags, num_nodes, block_n, chunk):
 def build_block_plan(row, col, weight=None, mask=None, *, num_nodes: int,
                      block_n: int = 1024, chunk: int = 1024) -> BlockPlan:
     """Bucket + sort + pad the edge list (numpy, one-off preprocessing)."""
+    from graph_neural_pde_tpu.ops.pallas.spmm_blocked import _on_tpu
+    if _on_tpu() and chunk % 1024:
+        # Mosaic tiles rank-1 [capacity] operands at (1024,): non-multiple
+        # (chunk,) blocks fail TPU lowering (see stripe.build_stripe_plan)
+        chunk = -(-chunk // 1024) * 1024
     row = np.asarray(row, np.int64)
     col = np.asarray(col, np.int64)
     e = row.shape[0]

@@ -176,6 +176,13 @@ def build_stripe_plan(row, mask=None, *, num_nodes: int, block_n: int = 1024,
     assert (np.diff(r) >= 0).all(), "rows must be sorted (Graph.sort_by_row)"
     if chunk is None:
         chunk = auto_chunk(r, num_nodes=num_nodes, block_n=block_n)
+    elif _on_tpu() and chunk % 1024:
+        # Mosaic windows rank-1 [capacity] operands (rowl/valid/col_local)
+        # with tiling (1024,): a (chunk,) block that isn't a 1024-multiple
+        # fails TPU lowering (measured: chunk 16 → "block shape must be a
+        # multiple of the tiling size"; chunk 1280 → "not divisible by
+        # tiling"). Interpret mode (CPU tests) keeps the requested chunk.
+        chunk = -(-chunk // 1024) * 1024
 
     # native planner (runtime/graphcore.cpp) — same layout, C++ speed for
     # very large edge lists; the numpy path below is the reference/fallback

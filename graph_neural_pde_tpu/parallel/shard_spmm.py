@@ -146,6 +146,7 @@ def make_sharded_stripe_spmm(mesh: Mesh, g: Graph, *, block_n: int = 128,
         cols.append(col_s)
         perms.append(perm_s)
 
+    chunk = plans[0].chunk      # builder may round up to Mosaic's 1-D tiling
     nc_max = max(p.n_chunks for p in plans)
     cap = nc_max * chunk
 
