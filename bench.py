@@ -709,15 +709,45 @@ def main():
     def _alarm(signum, frame):
         raise TimeoutError("train-mode compile/run exceeded alarm")
 
+    # the remote-compile tunnel occasionally drops a response mid-read
+    # (seen once: "read body: response body closed before all bytes were
+    # read" on an otherwise-healthy mode) — the driver runs this bench ONCE
+    # per round, so transient RPC failures get one retry before a mode's
+    # number is abandoned
+    _TRANSIENT = ("remote_compile", "read body", "UNAVAILABLE",
+                  "DEADLINE_EXCEEDED", "Connection reset", "Socket closed")
+
+    def _guarded(label, thunk, alarm_s=900):
+        """Run thunk under SIGALRM; one retry on transient tunnel errors.
+
+        Returns the thunk's value or None (failure already printed)."""
+        for attempt in (0, 1):
+            old_h = signal.signal(signal.SIGALRM, _alarm)
+            signal.alarm(alarm_s)
+            try:
+                return thunk()
+            except Exception as ex:  # noqa: BLE001
+                transient = any(t in repr(ex) for t in _TRANSIENT)
+                if attempt == 0 and transient:
+                    print(f"# {label}: transient tunnel error, retrying: "
+                          f"{ex}", file=sys.stderr)
+                    continue
+                print(f"# {label} failed: {ex}", file=sys.stderr)
+                return None
+            finally:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, old_h)
+
     for mode, over in (("remat", dict(remat=True)),
                        ("adjoint", dict(adjoint=True, adjoint_method="rk4",
                                         adjoint_step_size=1.0))):
-        old_h = signal.signal(signal.SIGALRM, _alarm)
-        signal.alarm(900)
-        try:
+        def _run_mode(mode=mode, over=over):
             m_t = GNNModel(model.cfg.replace(**over), nf, nc, g_raw)
-            nfe_t, dt_t, comp_t, bwd_nfe_t = _time_train(
-                m_t, params, state, x, y, mask)
+            return _time_train(m_t, params, state, x, y, mask)
+
+        res = _guarded(f"train[{mode}]", _run_mode)
+        if res is not None:
+            nfe_t, dt_t, comp_t, bwd_nfe_t = res
             train_ms[mode] = dt_t * 1000.0
             train_compile[mode] = comp_t
             rate = nfe_t * e_valid / dt_t
@@ -725,11 +755,6 @@ def main():
             print(f"# train[{mode}]: {dt_t*1000:.0f} ms/step fwd_nfe={nfe_t} "
                   f"bwd_nfe={bwd_nfe_t} rate={rate/1e6:.1f}M "
                   f"compile={comp_t:.0f}s", file=sys.stderr)
-        except Exception as ex:  # noqa: BLE001
-            print(f"# train[{mode}] failed: {ex}", file=sys.stderr)
-        finally:
-            signal.alarm(0)
-            signal.signal(signal.SIGALRM, old_h)
 
     # GRAND-l TRAIN secondaries (VERDICT r4 #2): every tuned best_params
     # config runs function=laplacian with attention frozen at t=0
@@ -746,45 +771,38 @@ def main():
             ("adjoint", dict(method="rk4", step_size=1.0, adjoint=True,
                              adjoint_method="rk4", adjoint_step_size=1.0)),
             ("cheby", dict(method="cheby"))):
-        old_h = signal.signal(signal.SIGALRM, _alarm)
-        signal.alarm(900)
-        try:
+        def _run_grand_l(over=over):
             m_l = GNNModel(base_l.replace(**over), nf, nc, g_raw)
             p_l, s_l = m_l.init(jax.random.PRNGKey(11))
-            nfe_l, dt_l, comp_l, bwd_l = _time_train(
-                m_l, p_l, s_l, x, y, mask)
+            return _time_train(m_l, p_l, s_l, x, y, mask)
+
+        res = _guarded(f"train_grand_l[{mode}]", _run_grand_l)
+        if res is not None:
+            nfe_l, dt_l, comp_l, bwd_l = res
             rate = nfe_l * e_valid / dt_l
             grand_l_train[mode] = (rate, dt_l * 1000.0)
             print(f"# train_grand_l[{mode}]: {dt_l*1000:.0f} ms/step "
                   f"fwd_nfe={nfe_l} bwd_nfe={bwd_l} rate={rate/1e6:.1f}M "
                   f"compile={comp_l:.0f}s", file=sys.stderr)
-        except Exception as ex:  # noqa: BLE001
-            print(f"# train_grand_l[{mode}] failed: {ex}", file=sys.stderr)
-        finally:
-            signal.alarm(0)
-            signal.signal(signal.SIGALRM, old_h)
 
     # norm_idx=1 TRAIN (VERDICT r4 #3): one full optimizer step through the
     # mirror-trick engine (params/state shapes match the headline model —
     # norm_idx only changes the normalisation axis)
     norm1_train = None
-    old_h = signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(900)
-    try:
+
+    def _run_norm1():
         m_n1 = GNNModel(model.cfg.replace(attention_norm_idx=1, remat=True),
                         nf, nc, g_raw)
-        nfe_n1, dt_n1, comp_n1, bwd_n1 = _time_train(
-            m_n1, params, state, x, y, mask)
+        return _time_train(m_n1, params, state, x, y, mask)
+
+    res = _guarded("train_norm1", _run_norm1)
+    if res is not None:
+        nfe_n1, dt_n1, comp_n1, bwd_n1 = res
         norm1_train = (nfe_n1 * e_valid / dt_n1, dt_n1 * 1000.0)
         print(f"# train_norm1[remat]: {dt_n1*1000:.0f} ms/step "
               f"fwd_nfe={nfe_n1} bwd_nfe={bwd_n1} "
               f"rate={norm1_train[0]/1e6:.1f}M compile={comp_n1:.0f}s",
               file=sys.stderr)
-    except Exception as ex:  # noqa: BLE001
-        print(f"# train_norm1 failed: {ex}", file=sys.stderr)
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old_h)
 
     # secondary: a NON-scaled-dot score family through the same one-pass
     # kernel (VERDICT r2 #3b: the fast engine must cover the tuned configs'

@@ -28,7 +28,7 @@ from graph_neural_pde_tpu.utils.stats import aggregate_runs
 
 
 def torch_replica_run(cfg, dataset, masks, seed: int, epochs: int,
-                      verbose: bool = False):
+                      verbose: bool = False, init_w=None):
     """Independent TORCH replica of the reference semantics for one tuned
     config on the SAME stand-in and splits (VERDICT r3 #4a).
 
@@ -70,8 +70,16 @@ def torch_replica_run(cfg, dataset, masks, seed: int, epochs: int,
                 torch.empty(o).uniform_(-b, b, generator=gtor)
                 .requires_grad_())
 
-    m1w, m1b = lin(F, HID)
-    m2w, m2b = lin(HID, C)
+    if init_w is not None:
+        # matched-init bisection mode: consume the jax side's exact encoder/
+        # decoder init so only the dropout streams differ between sides
+        m1w = torch.tensor(np.asarray(init_w["m1_w"])).requires_grad_()
+        m1b = torch.tensor(np.asarray(init_w["m1_b"])).requires_grad_()
+        m2w = torch.tensor(np.asarray(init_w["m2_w"])).requires_grad_()
+        m2b = torch.tensor(np.asarray(init_w["m2_b"])).requires_grad_()
+    else:
+        m1w, m1b = lin(F, HID)
+        m2w, m2b = lin(HID, C)
     p = {"m1w": m1w, "m1b": m1b, "m2w": m2w, "m2b": m2b,
          "Qw": (1e-5 * torch.ones(HID, ATT)).requires_grad_(),
          "Qb": torch.zeros(ATT, requires_grad=True),

@@ -84,11 +84,22 @@ def torch_squareplus_by(src, index_arr, n):
     return out / (den[index_arr] + 1e-16)
 
 
-def torch_attention(xe, edge, p, norm_idx, square_plus):
-    h, d_k = HEADS, ATT // HEADS
+def torch_attention(xe, edge, p, norm_idx, square_plus, score="scaled_dot",
+                    heads=HEADS):
+    h, d_k = heads, ATT // heads
     q = (xe @ p["Q_w"] + p["Q_b"]).view(-1, h, d_k)
     k = (xe @ p["K_w"] + p["K_b"]).view(-1, h, d_k)
-    prods = (q[edge[0]] * k[edge[1]]).sum(-1) / math.sqrt(d_k)   # [E, H]
+    qs, ks = q[edge[0]], k[edge[1]]
+    if score == "scaled_dot":
+        prods = (qs * ks).sum(-1) / math.sqrt(d_k)               # [E, H]
+    else:
+        # cosine_sim / pearson (function_transformer_attention.py:197-206)
+        eps = 1e-5
+        if score == "pearson":
+            qs = qs - qs.mean(-1, keepdim=True)
+            ks = ks - ks.mean(-1, keepdim=True)
+        prods = (qs * ks).sum(-1) / (qs.norm(dim=-1).clamp_min(eps)
+                                     * ks.norm(dim=-1).clamp_min(eps))
     idx = edge[norm_idx]
     if square_plus:
         return torch_squareplus_by(prods, idx, N)
@@ -96,7 +107,8 @@ def torch_attention(xe, edge, p, norm_idx, square_plus):
 
 
 def torch_train(mode, w, row, col, x, y, train_mask, *, optimizer,
-                norm_idx, square_plus, lr, wd, epochs=EPOCHS):
+                norm_idx, square_plus, lr, wd, epochs=EPOCHS,
+                score="scaled_dot", heads=HEADS):
     """mode: 'grand_l' (attention frozen at t0) or 'grand_nl' (recomputed
     per RHS eval). Returns (losses per epoch, final logits)."""
     p = {k: torch.tensor(v, requires_grad=True) for k, v in w.items()}
@@ -116,12 +128,14 @@ def torch_train(mode, w, row, col, x, y, train_mask, *, optimizer,
         x0_det = x0.detach()
         alpha = torch.sigmoid(p["alpha"])
         if mode == "grand_l":
-            att = torch_attention(x0, edge, p, norm_idx, square_plus)
+            att = torch_attention(x0, edge, p, norm_idx, square_plus,
+                                  score, heads)
         yy = x0
         dt = 1.0 / STEPS
         for _ in range(STEPS):
             if mode == "grand_nl":
-                att = torch_attention(yy, edge, p, norm_idx, square_plus)
+                att = torch_attention(yy, edge, p, norm_idx, square_plus,
+                                      score, heads)
             mean_att = att.mean(dim=1)
             ax = torch.zeros_like(yy).index_add(
                 0, edge[0], mean_att[:, None] * yy[edge[1]])
@@ -146,12 +160,13 @@ def torch_train(mode, w, row, col, x, y, train_mask, *, optimizer,
 # ---------------------------------------------------------------------------
 
 def jax_train(mode, w, row, col, x, y, train_mask, val_mask, *, optimizer,
-              norm_idx, square_plus, lr, wd, epochs=EPOCHS):
+              norm_idx, square_plus, lr, wd, epochs=EPOCHS,
+              score="scaled_dot", heads=HEADS):
     cfg = Config(
         block="attention" if mode == "grand_l" else "constant",
         function="laplacian" if mode == "grand_l" else "transformer",
-        hidden_dim=HID, attention_dim=ATT, heads=HEADS,
-        attention_type="scaled_dot", attention_norm_idx=norm_idx,
+        hidden_dim=HID, attention_dim=ATT, heads=heads,
+        attention_type=score, attention_norm_idx=norm_idx,
         square_plus=square_plus, method="euler", step_size=1.0 / STEPS,
         time=1.0, add_source=True, self_loop_weight=0.0,
         input_dropout=0.0, dropout=0.0, optimizer=optimizer, lr=lr, decay=wd,
@@ -192,28 +207,37 @@ def jax_train(mode, w, row, col, x, y, train_mask, val_mask, *, optimizer,
 
 
 CASES = [
-    # mode, optimizer, norm_idx, square_plus — the tuned configs' staples:
-    # Cora-style squareplus/adamax GRAND-l and rmsprop softmax GRAND-nl
-    ("grand_l", "adamax", 1, True),
-    ("grand_l", "rmsprop", 0, False),
-    ("grand_nl", "adamax", 0, False),
-    ("grand_nl", "rmsprop", 0, True),
+    # mode, optimizer, norm_idx, square_plus, score, heads — the tuned
+    # configs' staples: Cora-style squareplus/adamax GRAND-l, rmsprop
+    # softmax GRAND-nl, and the Pubmed row's exact axes (cosine_sim,
+    # heads=1, squareplus, norm_idx=0, adamax — best_params.py:3), which
+    # the round-5 n=5 vs_torch table flagged as the one gap exceeding its
+    # 2·SEM bar: this case bisects solver/gradient parity at that config.
+    ("grand_l", "adamax", 1, True, "scaled_dot", HEADS),
+    ("grand_l", "rmsprop", 0, False, "scaled_dot", HEADS),
+    ("grand_nl", "adamax", 0, False, "scaled_dot", HEADS),
+    ("grand_nl", "rmsprop", 0, True, "scaled_dot", HEADS),
+    ("grand_l", "adamax", 0, True, "cosine_sim", 1),
+    ("grand_l", "adamax", 1, False, "pearson", HEADS),
 ]
 
 
 class TestTrainingParity:
-    @pytest.mark.parametrize("mode,optimizer,norm_idx,square_plus", CASES)
+    @pytest.mark.parametrize("mode,optimizer,norm_idx,square_plus,score,heads",
+                             CASES)
     def test_multi_epoch_trajectory(self, mode, optimizer, norm_idx,
-                                    square_plus):
+                                    square_plus, score, heads):
         row, col, x, y, train, val = make_data()
         w = make_weights()
         lr, wd = 0.03, 0.01
         tl, tlog = torch_train(mode, w, row, col, x, y, train,
                                optimizer=optimizer, norm_idx=norm_idx,
-                               square_plus=square_plus, lr=lr, wd=wd)
+                               square_plus=square_plus, lr=lr, wd=wd,
+                               score=score, heads=heads)
         jl, jlog = jax_train(mode, w, row, col, x, y, train, val,
                              optimizer=optimizer, norm_idx=norm_idx,
-                             square_plus=square_plus, lr=lr, wd=wd)
+                             square_plus=square_plus, lr=lr, wd=wd,
+                             score=score, heads=heads)
         # loss trajectory: tight early, tolerance grows with compounding
         for e, (a, b) in enumerate(zip(tl, jl)):
             tol = 2e-4 * (1 + 3 * e)
