@@ -720,12 +720,34 @@ def main():
     def _guarded(label, thunk, alarm_s=900):
         """Run thunk under SIGALRM; one retry on transient tunnel errors.
 
-        Returns the thunk's value or None (failure already printed)."""
+        Returns the thunk's value or None (failure already printed).
+
+        A second pathology gets the same retry: when the SIGALRM fires
+        while jax is DESERIALIZING a persistent-cache entry (a tunnel
+        stall mid-read), jax's cache layer swallows the TimeoutError as a
+        cache-read failure, warns, and silently recompiles from scratch —
+        the thunk then "succeeds" with a cold-compile time recorded as the
+        warm number (seen once: remat warm compile reported 960 s against
+        a healthy 56 s). The recompile rewrites the cache entry, so one
+        retry deserializes it fresh and yields the true warm figure."""
+        import warnings as _warnings
         for attempt in (0, 1):
             old_h = signal.signal(signal.SIGALRM, _alarm)
             signal.alarm(alarm_s)
             try:
-                return thunk()
+                with _warnings.catch_warnings(record=True) as wrec:
+                    _warnings.simplefilter("always")
+                    val = thunk()
+                cache_hosed = any(
+                    "persistent compilation cache" in str(w.message)
+                    for w in wrec)
+                if cache_hosed and attempt == 0:
+                    print(f"# {label}: persistent-cache read failed "
+                          "mid-run (alarm swallowed by jax cache layer); "
+                          "retrying for a true warm-compile figure",
+                          file=sys.stderr)
+                    continue
+                return val
             except Exception as ex:  # noqa: BLE001
                 transient = any(t in repr(ex) for t in _TRANSIENT)
                 if attempt == 0 and transient:
