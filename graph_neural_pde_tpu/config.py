@@ -157,6 +157,11 @@ class Config:
     # sparsity) or 'pallas_blocked' (one-hot MXU kernels over node blocks;
     # best for block-local graphs: pixel grids, clustered/reordered graphs)
     spmm_impl: str = "xla"
+    # load-time node relabeling (ops/reorder.py): 'rcm' (reverse Cuthill-
+    # McKee) or 'degree' lay community/hub structure into contiguous node
+    # blocks so the pallas_blocked plan concentrates near the diagonal;
+    # semantics-neutral (features/labels/masks ride the permutation)
+    node_reorder: str = "none"
     # multi-chip aggregation collective schedule (parallel.shard_spmm):
     # 'allreduce' — per-shard [N, D] partials merged by one psum (default);
     # 'stream' — edge-streaming ring (make_sharded_spmm_stream): rows block-

@@ -430,7 +430,7 @@ def get_dataset(cfg: Config, data_dir: str, use_lcc: bool = False, *,
         d.name = f"{ds}-synthetic"
         if cfg.rewiring is not None:
             d.graph = rewire(d.graph, cfg, data_dir)
-        return d
+        return _maybe_reorder(d, cfg)
 
     if not os.path.exists(cache):
         try:
@@ -460,8 +460,17 @@ def get_dataset(cfg: Config, data_dir: str, use_lcc: bool = False, *,
         # after LCC, before training — data.py:75-76
         g = rewire(g, cfg, data_dir)
     import jax.numpy as jnp
-    return NodeDataset(
+    return _maybe_reorder(NodeDataset(
         graph=g, x=jnp.asarray(x), y=jnp.asarray(y, jnp.int32),
         train_mask=jnp.asarray(masks[0]), val_mask=jnp.asarray(masks[1]),
         test_mask=jnp.asarray(masks[2]), num_classes=int(y.max()) + 1,
-        num_features=x.shape[1], name=ds)
+        num_features=x.shape[1], name=ds), cfg)
+
+
+def _maybe_reorder(d: NodeDataset, cfg: Config) -> NodeDataset:
+    """cfg.node_reorder: block-locality relabeling (ops/reorder.py)."""
+    if cfg.node_reorder in (None, "none"):
+        return d
+    from graph_neural_pde_tpu.ops.reorder import reorder_dataset
+    d2, _ = reorder_dataset(d, cfg.node_reorder)
+    return d2

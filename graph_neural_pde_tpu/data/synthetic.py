@@ -32,6 +32,9 @@ class NodeDataset:
     num_features: int
     name: str = "synthetic"
     pos_encoding: Optional[jnp.ndarray] = None
+    # node order applied by ops.reorder (order[new_id] = old_id); lets
+    # externally-indexed node payloads (PE files, split files) be remapped
+    reorder: Optional[np.ndarray] = None
 
 
 def make_sbm_dataset(num_nodes=120, num_classes=3, num_features=16,

@@ -130,16 +130,23 @@ def nmf_compress(pe: np.ndarray, dim: int, seed: int = 0) -> np.ndarray:
 # apply_beltrami
 # ---------------------------------------------------------------------------
 
-def apply_beltrami(g: Graph, cfg: Config, data_dir: Optional[str] = None
-                   ) -> np.ndarray:
+def apply_beltrami(g: Graph, cfg: Config, data_dir: Optional[str] = None,
+                   node_order: Optional[np.ndarray] = None) -> np.ndarray:
     """Load-or-compute positional encodings (graph_rewiring.py:244-282).
 
     Reads the reference's pickle cache format when present
     (``{data_dir}/pos_encodings/{dataset}_{type}.pkl``; DW pickles store
     {'data': encodings}), otherwise computes GDC or DeepWalk encodings and
     caches them as .npz.
+
+    ``node_order`` (ops/reorder.py, order[new_id] = old_id): disk-cached
+    encodings are indexed by the ORIGINAL node ids, so a cfg.node_reorder
+    relabeling must permute them on load; freshly computed encodings use
+    the (already relabeled) graph and need nothing.
     """
     if data_dir:
+        remap = ((lambda p: p[np.asarray(node_order)])
+                 if node_order is not None else (lambda p: p))
         pkl = os.path.join(data_dir, "pos_encodings",
                            f"{cfg.dataset}_{cfg.pos_enc_type}.pkl")
         if os.path.exists(pkl):
@@ -147,10 +154,10 @@ def apply_beltrami(g: Graph, cfg: Config, data_dir: Optional[str] = None
                 pe = pickle.load(f)
             if cfg.pos_enc_type.startswith("DW") and isinstance(pe, dict):
                 pe = pe["data"]
-            return np.asarray(pe, np.float32)
+            return remap(np.asarray(pe, np.float32))
         npz = pkl[:-4] + ".npz"
         if os.path.exists(npz):
-            return np.load(npz)["pe"].astype(np.float32)
+            return remap(np.load(npz)["pe"].astype(np.float32))
 
     if cfg.pos_enc_type == "GDC":
         pe = np.asarray(gdc_position_encoding(g, cfg), np.float32)
@@ -164,7 +171,9 @@ def apply_beltrami(g: Graph, cfg: Config, data_dir: Optional[str] = None
             f"The positional encoding type you specified "
             f"({cfg.pos_enc_type}) does not exist")
 
-    if data_dir:
+    if data_dir and node_order is None:
+        # a node_reorder run computes PEs in RELABELED order — caching them
+        # under the dataset name would poison later unreordered loads
         os.makedirs(os.path.join(data_dir, "pos_encodings"), exist_ok=True)
         np.savez(os.path.join(data_dir, "pos_encodings",
                               f"{cfg.dataset}_{cfg.pos_enc_type}.npz"), pe=pe)

@@ -101,7 +101,8 @@ def main(cfg: Config, data_dir: str = "./data", verbose: bool = True,
     pos_encoding = None
     if cfg.beltrami:
         from graph_neural_pde_tpu.rewiring.positional import apply_beltrami
-        pe = apply_beltrami(dataset.graph, cfg, data_dir)
+        pe = apply_beltrami(dataset.graph, cfg, data_dir,
+                            node_order=dataset.reorder)
         cfg = cfg.replace(pos_enc_dim=pe.shape[1])
         import jax.numpy as jnp
         pos_encoding = jnp.asarray(pe)
@@ -118,6 +119,10 @@ def main(cfg: Config, data_dir: str = "./data", verbose: bool = True,
             split_idx=(split_idx if split_idx is not None
                        else cfg.seed) % 10,
             n=int(dataset.y.shape[0]))
+        if dataset.reorder is not None:
+            # split files index ORIGINAL node ids; ride the relabeling
+            o = np.asarray(dataset.reorder)
+            tm, vm, sm = tm[o], vm[o], sm[o]
         dataset.train_mask = jnp.asarray(tm)
         dataset.val_mask = jnp.asarray(vm)
         dataset.test_mask = jnp.asarray(sm)
