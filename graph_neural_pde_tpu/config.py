@@ -164,9 +164,13 @@ class Config:
     node_reorder: str = "none"
     # multi-chip aggregation collective schedule (parallel.shard_spmm):
     # 'allreduce' — per-shard [N, D] partials merged by one psum (default);
-    # 'stream' — edge-streaming ring (make_sharded_spmm_stream): rows block-
+    # 'stream' — edge-streaming ring (make_sharded_spmm_stream and, for the
+    # GRAND-nl attention RHS, make_sharded_fused_rhs_stream): rows block-
     # sharded, x blocks ride nd−1 collective-permutes of [N/nd, D] each —
-    # half the AllReduce bytes, result stays row-sharded for chained matvecs
+    # half the AllReduce bytes for the matvec, ~2H× less for the attention
+    # RHS (raw feature block vs [N,H·D]+[N,H] num/den psums), and results
+    # stay row-sharded for chained evals. Dispatched by
+    # parallel.shard_spmm.make_sharded_{spmm,fused_rhs}_for(cfg, ...)
     shard_spmm_mode: str = "allreduce"
     # route the fused attention RHS's row-side gather and aggregation scatter
     # through the stripe MXU kernels (ops/pallas/stripe.py). None = AUTO:

@@ -163,6 +163,186 @@ class TestShardedStripeSpmm:
                                    rtol=3e-2, atol=3e-2)
 
 
+class TestStreamFusedRhs:
+    """Ring-attention-style exact edge streaming for the GRAND-nl attention
+    RHS (make_sharded_fused_rhs_stream): equality vs the AllReduce shard_map
+    schedule and a direct segment-sum oracle, forward and gradients, both
+    score nonlinearities, on the 8-device CPU mesh. The two schedules must
+    agree to f32 roundoff — only the summation order over column blocks
+    differs."""
+
+    def _graph(self, n=67, e=400, seed=3):
+        from graph_neural_pde_tpu.ops.graph import make_graph
+        rng = np.random.default_rng(seed)
+        return make_graph(rng.integers(0, n, e).astype(np.int32),
+                          rng.integers(0, n, e).astype(np.int32), None,
+                          num_nodes=n, pad_multiple=8)
+
+    @staticmethod
+    def _oracle(g, qw, qb, kw, kb, x, heads, square_plus=False):
+        import math
+        h = heads
+        d_k = qw.shape[1] // h
+        d = x.shape[1]
+        q = x @ qw + qb
+        x_g = x[g.col]
+        k_e = x_g @ kw + kb
+        s = jnp.sum(q[g.row].reshape(-1, h, d_k) * k_e.reshape(-1, h, d_k),
+                    axis=-1) / math.sqrt(d_k)
+        u = ((s + jnp.sqrt(s * s + 4.0)) * 0.5 if square_plus
+             else jnp.exp(s))
+        u = jnp.where(g.mask[:, None], u, 0.0)
+        vals = (u[:, :, None] * x_g[:, None, :]).reshape(-1, h * d)
+        num = jax.ops.segment_sum(vals, g.row, num_segments=g.num_nodes)
+        den = jax.ops.segment_sum(u, g.row, num_segments=g.num_nodes)
+        num = num.reshape(g.num_nodes, h, d)
+        return jnp.mean(num / (den[:, :, None] + 1e-16), axis=1)
+
+    def _params(self, d=8, att=8, seed=0):
+        rng = np.random.default_rng(seed)
+        return (jnp.asarray(rng.normal(size=(d, att)) * 0.3, jnp.float32),
+                jnp.asarray(rng.normal(size=(att,)) * 0.1, jnp.float32),
+                jnp.asarray(rng.normal(size=(d, att)) * 0.3, jnp.float32),
+                jnp.asarray(rng.normal(size=(att,)) * 0.1, jnp.float32))
+
+    @pytest.mark.parametrize("square_plus", [False, True])
+    def test_matches_allreduce_and_oracle(self, mesh, square_plus):
+        from graph_neural_pde_tpu.parallel.shard_spmm import (
+            make_sharded_fused_rhs, make_sharded_fused_rhs_stream)
+
+        g = self._graph()
+        heads = 2
+        qw, qb, kw, kb = self._params()
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(g.num_nodes, 8)), jnp.float32)
+
+        want = self._oracle(g, qw, qb, kw, kb, x, heads,
+                            square_plus=square_plus)
+        f_ar = jax.jit(make_sharded_fused_rhs(
+            mesh, g, heads=heads, square_plus=square_plus))
+        f_st = jax.jit(make_sharded_fused_rhs_stream(
+            mesh, g, heads=heads, square_plus=square_plus))
+        got_ar = f_ar(qw, qb, kw, kb, x)
+        got_st = f_st(qw, qb, kw, kb, x)
+        np.testing.assert_allclose(np.asarray(got_st), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_st), np.asarray(got_ar),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_gradients_match(self, mesh):
+        from graph_neural_pde_tpu.parallel.shard_spmm import (
+            make_sharded_fused_rhs_stream)
+
+        g = self._graph(n=41, e=200, seed=5)
+        heads = 2
+        qw, qb, kw, kb = self._params(seed=2)
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(size=(g.num_nodes, 8)), jnp.float32)
+        probe = jnp.asarray(rng.normal(size=(g.num_nodes, 8)), jnp.float32)
+        f_st = make_sharded_fused_rhs_stream(mesh, g, heads=heads)
+
+        g_st = jax.jit(jax.grad(
+            lambda qw_, kw_, x_: jnp.sum(f_st(qw_, qb, kw_, kb, x_) * probe),
+            argnums=(0, 1, 2)))(qw, kw, x)
+        g_or = jax.jit(jax.grad(
+            lambda qw_, kw_, x_: jnp.sum(
+                self._oracle(g, qw_, qb, kw_, kb, x_, heads) * probe),
+            argnums=(0, 1, 2)))(qw, kw, x)
+        for a, b in zip(g_st, g_or):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_chained_evals(self, mesh):
+        """The schedule's reason to exist: the output lands row-sharded, so
+        chained RHS evals (a fixed-grid solve) never rebuild a replicated
+        [N, D] state between steps."""
+        from graph_neural_pde_tpu.parallel.shard_spmm import (
+            make_sharded_fused_rhs_stream)
+
+        g = self._graph(n=32, e=150, seed=9)
+        heads = 2
+        qw, qb, kw, kb = self._params(seed=3)
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.normal(size=(g.num_nodes, 8)), jnp.float32)
+        f_st = make_sharded_fused_rhs_stream(mesh, g, heads=heads)
+
+        @jax.jit
+        def chain(x_):
+            for _ in range(3):
+                x_ = x_ + 0.25 * (f_st(qw, qb, kw, kb, x_) - x_)
+            return x_
+
+        want = x
+        for _ in range(3):
+            want = want + 0.25 * (
+                self._oracle(g, qw, qb, kw, kb, want, heads) - want)
+        np.testing.assert_allclose(np.asarray(chain(x)), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestShardSpmmModeDispatch:
+    """Config.shard_spmm_mode selects the collective schedule: the two
+    modes build different programs (psum vs ppermute ring) that compute
+    the same numbers, for both the matvec and the attention RHS."""
+
+    def _graph(self, n=48, e=220, seed=11):
+        from graph_neural_pde_tpu.ops.graph import make_graph
+        rng = np.random.default_rng(seed)
+        return make_graph(rng.integers(0, n, e).astype(np.int32),
+                          rng.integers(0, n, e).astype(np.int32), None,
+                          num_nodes=n, pad_multiple=8)
+
+    def test_spmm_modes_agree(self, mesh):
+        from graph_neural_pde_tpu.config import Config
+        from graph_neural_pde_tpu.parallel.shard_spmm import (
+            make_sharded_spmm_for)
+
+        g = self._graph()
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(g.num_nodes, 8)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(g.row.shape[0],)) ** 2, jnp.float32)
+        outs = {}
+        for mode in ("allreduce", "stream"):
+            f = make_sharded_spmm_for(
+                Config(shard_spmm_mode=mode), mesh, g)
+            outs[mode] = np.asarray(jax.jit(f)(x, w))
+        np.testing.assert_allclose(outs["stream"], outs["allreduce"],
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_fused_rhs_modes_agree(self, mesh):
+        from graph_neural_pde_tpu.config import Config
+        from graph_neural_pde_tpu.parallel.shard_spmm import (
+            make_sharded_fused_rhs_for)
+
+        g = self._graph(seed=12)
+        rng = np.random.default_rng(1)
+        d, att, heads = 8, 8, 2
+        qw = jnp.asarray(rng.normal(size=(d, att)) * 0.3, jnp.float32)
+        qb = jnp.asarray(rng.normal(size=(att,)) * 0.1, jnp.float32)
+        kw = jnp.asarray(rng.normal(size=(d, att)) * 0.3, jnp.float32)
+        kb = jnp.asarray(rng.normal(size=(att,)) * 0.1, jnp.float32)
+        x = jnp.asarray(rng.normal(size=(g.num_nodes, d)), jnp.float32)
+        outs = {}
+        for mode in ("allreduce", "stream"):
+            f = make_sharded_fused_rhs_for(
+                Config(shard_spmm_mode=mode), mesh, g, heads=heads)
+            outs[mode] = np.asarray(jax.jit(f)(qw, qb, kw, kb, x))
+        np.testing.assert_allclose(outs["stream"], outs["allreduce"],
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_unknown_mode_raises(self, mesh):
+        from graph_neural_pde_tpu.config import Config
+        from graph_neural_pde_tpu.parallel.shard_spmm import (
+            make_sharded_fused_rhs_for, make_sharded_spmm_for)
+
+        g = self._graph(seed=13)
+        cfg = Config(shard_spmm_mode="nope")
+        with pytest.raises(ValueError, match="shard_spmm_mode"):
+            make_sharded_spmm_for(cfg, mesh, g)
+        with pytest.raises(ValueError, match="shard_spmm_mode"):
+            make_sharded_fused_rhs_for(cfg, mesh, g, heads=2)
+
+
 class TestStreamSpmm:
     """Edge-streaming ring spmm (VERDICT r4 #9, Config.shard_spmm_mode
     'stream'): equality vs the single-device oracle and the AllReduce
