@@ -19,7 +19,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from graph_neural_pde_tpu.ops.graph import Graph
 
@@ -310,8 +310,8 @@ def make_sharded_stripe_spmm(mesh: Mesh, g: Graph, *, block_n: int = 128,
                   P(axis_name), P(), P()),
         out_specs=P(),
         # pallas_call can't declare its varying-mesh-axes, so replication
-        # checking must be off inside this body
-        check_rep=False)
+        # (varying-manual-axes) checking must be off inside this body
+        check_vma=False)
 
     def spmm_fn(x, w):
         n = x.shape[0]
