@@ -172,6 +172,12 @@ class Config:
     # stay row-sharded for chained evals. Dispatched by
     # parallel.shard_spmm.make_sharded_{spmm,fused_rhs}_for(cfg, ...)
     shard_spmm_mode: str = "allreduce"
+    # multi-chip CLI (run.py): shard the padded edge list over this many
+    # devices of a jax.sharding.Mesh (parallel.mesh.shard_graph) with node
+    # states/params replicated; XLA SPMD inserts the ICI collectives.
+    # 0/1 = single-device. The single-device Pallas engines (host-built
+    # plans) are disabled in mesh mode — the sharded path is pure XLA ops.
+    mesh_devices: int = 0
     # route the fused attention RHS's row-side gather and aggregation scatter
     # through the stripe MXU kernels (ops/pallas/stripe.py). None = AUTO:
     # ON when the backend is a TPU (every eligible config — including all

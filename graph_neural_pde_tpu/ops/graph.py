@@ -103,6 +103,24 @@ def make_graph(row, col, weight=None, *, num_nodes: int, capacity: int | None = 
 # self loops
 # ---------------------------------------------------------------------------
 
+def pad_capacity(g: Graph, multiple: int) -> Graph:
+    """Grow the padded edge arrays so ``capacity % multiple == 0`` (new tail
+    slots are invalid). Mesh sharding (parallel.mesh.shard_graph) needs the
+    capacity to divide evenly across devices. rows_sorted is dropped — the
+    appended row-0 slots break the sorted invariant; prepare_graph re-sorts."""
+    cap = g.capacity
+    new = _round_up(cap, multiple)
+    if new == cap:
+        return g
+    pad = new - cap
+    return Graph(
+        row=jnp.concatenate([g.row, jnp.zeros((pad,), jnp.int32)]),
+        col=jnp.concatenate([g.col, jnp.zeros((pad,), jnp.int32)]),
+        weight=jnp.concatenate([g.weight, jnp.zeros((pad,), jnp.float32)]),
+        mask=jnp.concatenate([g.mask, jnp.zeros((pad,), bool)]),
+        num_nodes=g.num_nodes, rows_sorted=False)
+
+
 def add_remaining_self_loops(g: Graph, fill_value: float) -> Graph:
     """Add a self loop to every node; existing loop weights are kept.
 

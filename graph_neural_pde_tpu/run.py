@@ -139,6 +139,37 @@ def main(cfg: Config, data_dir: str = "./data", verbose: bool = True,
         dataset.val_mask = jnp.asarray(vm)
         dataset.test_mask = jnp.asarray(sm)
 
+    # --mesh_devices N: edge-shard the graph over an N-device mesh and
+    # replicate node state/params (the multi-chip design of parallel/mesh.py,
+    # reachable from the CLI; tests/test_multichip.py pins sharded == single)
+    mesh = None
+    if cfg.mesh_devices and cfg.mesh_devices > 1:
+        import jax.numpy as jnp
+        from graph_neural_pde_tpu.ops.graph import pad_capacity
+        from graph_neural_pde_tpu.parallel.mesh import (
+            make_mesh, replicate, shard_graph)
+        ndev = len(jax.devices())
+        if ndev < cfg.mesh_devices:
+            raise ValueError(
+                f"--mesh_devices {cfg.mesh_devices}: only {ndev} jax "
+                f"device(s) visible (for a CPU test mesh set XLA_FLAGS="
+                f"--xla_force_host_platform_device_count="
+                f"{cfg.mesh_devices})")
+        mesh = make_mesh(cfg.mesh_devices)
+        # the single-device Pallas engines build host-side plans; the mesh
+        # path rides XLA SPMD collectives over plain ops
+        cfg = cfg.replace(stripe_fused=False, spmm_impl="xla")
+        dataset.graph = shard_graph(
+            mesh, pad_capacity(dataset.graph, cfg.mesh_devices))
+        dataset.x = replicate(mesh, dataset.x)
+        dataset.y = replicate(mesh, dataset.y)
+        dataset.train_mask = replicate(mesh, dataset.train_mask)
+        dataset.val_mask = replicate(mesh, dataset.val_mask)
+        dataset.test_mask = replicate(mesh, dataset.test_mask)
+        if pos_encoding is not None:
+            pos_encoding = replicate(mesh, pos_encoding)
+            dataset.pos_encoding = pos_encoding
+
     model = select_model(cfg, dataset.num_features, dataset.num_classes,
                          dataset.graph, pos_enc_dim=cfg.pos_enc_dim)
     trainer = Trainer(model)
@@ -146,7 +177,14 @@ def main(cfg: Config, data_dir: str = "./data", verbose: bool = True,
     key = jax.random.PRNGKey(cfg.seed)
     k_init, key = jax.random.split(key)
     params, state = model.init(k_init)
+    if mesh is not None:
+        from graph_neural_pde_tpu.parallel.mesh import replicate as _rep
+        params = _rep(mesh, params)
+        state = _rep(mesh, state)
     opt_state = trainer.optimizer.init(params)
+    if mesh is not None:
+        from graph_neural_pde_tpu.parallel.mesh import replicate as _rep2
+        opt_state = _rep2(mesh, opt_state)
 
     best = {"val_acc": 0.0, "test_acc": 0.0, "train_acc": 0.0, "epoch": 0,
             "best_time": cfg.time}
@@ -246,6 +284,18 @@ def main(cfg: Config, data_dir: str = "./data", verbose: bool = True,
                 model.graph, cfg_fa, mean_att_fa,
                 np.random.default_rng(cfg.seed + epoch * 137),
                 capacity=fa_cap))
+
+        if mesh is not None and (cfg.rewire_KNN or cfg.edge_sampling
+                                 or cfg.fa_layer):
+            # between-epoch host surgery rebuilt the edge arrays on the
+            # default device — ride them back onto the mesh (surgery keeps
+            # the capacity, so divisibility survives the initial pad)
+            from graph_neural_pde_tpu.ops.graph import pad_capacity as _pc
+            from graph_neural_pde_tpu.parallel.mesh import shard_graph as _sg
+            model.graph = _sg(mesh, _pc(model.graph, cfg.mesh_devices))
+            if getattr(model, "fa_graph", None) is not None:
+                model.fa_graph = _sg(
+                    mesh, _pc(model.fa_graph, cfg.mesh_devices))
 
         key, k_step = jax.random.split(key)
         params, state, opt_state, loss, tstats = trainer._train_step(

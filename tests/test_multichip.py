@@ -280,6 +280,38 @@ class TestStreamFusedRhs:
                                    rtol=1e-5, atol=1e-5)
 
 
+class TestMeshCLI:
+    """--mesh_devices N (run.py): the full CLI epoch loop over an edge-
+    sharded graph matches the single-device run on the same cached
+    stand-in dataset (same seeds, same split)."""
+
+    def test_run_main_mesh_matches_single(self, mesh, tmp_path_factory):
+        from graph_neural_pde_tpu.run import main
+
+        data_dir = str(tmp_path_factory.mktemp("meshcli"))
+        cfg = Config(dataset="Cora", planetoid_split=True, epoch=2,
+                     block="attention", function="laplacian", method="rk4",
+                     step_size=0.5, time=1.0, hidden_dim=8, attention_dim=8,
+                     heads=2, input_dropout=0.0, dropout=0.0, no_early=True,
+                     max_nfe=500)
+        tr1, va1, te1 = main(cfg, data_dir=data_dir, verbose=False)
+        tr8, va8, te8 = main(cfg.replace(mesh_devices=8),
+                             data_dir=data_dir, verbose=False)
+        # identical data/seeds; only f32 reduction order differs, so the
+        # quantised accuracies should agree to well under a percent
+        assert abs(tr8 - tr1) <= 0.02
+        assert abs(va8 - va1) <= 0.02
+        assert abs(te8 - te1) <= 0.02
+
+    def test_mesh_devices_exceeding_visible_raises(self, mesh):
+        from graph_neural_pde_tpu.run import main
+
+        cfg = Config(dataset="Cora", planetoid_split=True, epoch=2,
+                     mesh_devices=4096)
+        with pytest.raises(ValueError, match="mesh_devices"):
+            main(cfg, data_dir="/tmp/nodata_mesh_err", verbose=False)
+
+
 class TestShardSpmmModeDispatch:
     """Config.shard_spmm_mode selects the collective schedule: the two
     modes build different programs (psum vs ppermute ring) that compute
