@@ -158,10 +158,14 @@ def build_stripe_engine(cfg: Config, g: Graph):
     if not (cfg.rewire_KNN or cfg.edge_sampling or cfg.fa_layer):
         import dataclasses as _dc
         from graph_neural_pde_tpu.ops.pallas.stripe import (
-            attach_col_plan, edges_symmetric)
+            attach_col_plan, attach_rev_slots, edges_symmetric)
         plan = attach_col_plan(plan, col_s)
         plan = _dc.replace(plan, symmetric=edges_symmetric(
             row_s, col_s, plan.valid))
+        if plan.symmetric:
+            # reverse-edge slot map: unlocks the whole-matvec symmetric
+            # VJP for the laplacian/cheby spmm (ops.spmm.make_stripe_spmm)
+            plan = attach_rev_slots(plan, row_s, col_s)
     g2 = Graph(row=jnp.asarray(row_s), col=jnp.asarray(col_s),
                weight=jnp.asarray(w_s), mask=jnp.asarray(plan.valid),
                num_nodes=plan.num_nodes, rows_sorted=True)

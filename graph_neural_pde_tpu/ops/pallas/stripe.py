@@ -54,7 +54,7 @@ def _on_tpu() -> bool:
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=("row_local", "valid", "chunk_rows", "slot_of_edge",
-                      "node_degree", "col_plan", "col_src_slot"),
+                      "node_degree", "col_plan", "col_src_slot", "rev_slot"),
          meta_fields=("block_n", "chunk", "num_nodes", "symmetric"))
 @dataclass(frozen=True)
 class StripePlan:
@@ -93,6 +93,15 @@ class StripePlan:
     # [capacity]-sized permutation gather (measured ~12 ns/row — no row
     # reuse) plus the column-plan scatter from the training step
     symmetric: bool = False
+    # int32[capacity] — for symmetric edge multisets, a bijection pairing
+    # each valid slot's (row, col) edge with a slot holding (col, row)
+    # (padding maps to itself). Unlocks the whole-matvec symmetric VJP in
+    # ops.spmm.make_stripe_spmm: dx = Σ_{e: row=n} w[rev(e)]·ct[col[e]] is
+    # a FORWARD stripe matvec with statically permuted weights — one
+    # gather + one MXU scatter, versus the col-plan backward's recomputed
+    # forward + row gather + [cap, D] permutation gather + col scatter
+    # (measured 5.1× the forward per Chebyshev term; see attach_rev_slots)
+    rev_slot: "np.ndarray | None" = None
 
     @property
     def n_chunks(self) -> int:
@@ -121,6 +130,11 @@ class StripePlan:
                     and np.array_equal(self.col_src_slot,
                                        other.col_src_slot)):
                 return False
+        if (self.rev_slot is None) != (other.rev_slot is None):
+            return False
+        if self.rev_slot is not None and not np.array_equal(
+                self.rev_slot, other.rev_slot):
+            return False
         return True
 
     @property
@@ -270,6 +284,33 @@ def attach_col_plan(plan: StripePlan, col) -> StripePlan:
     src = np.zeros(cplan.capacity, np.int32)
     src[np.asarray(cplan.slot_of_edge)] = sorted_slots.astype(np.int32)
     return dataclasses.replace(plan, col_plan=cplan, col_src_slot=src)
+
+
+def attach_rev_slots(plan: StripePlan, row, col) -> StripePlan:
+    """Pair every valid slot's (row, col) edge with a slot holding the
+    reverse edge (col, row) — any bijection works, including for duplicate
+    multi-edges, since the symmetric VJP only needs the reverse-edge weight
+    multiset per row (see StripePlan.rev_slot). Returns the plan unchanged
+    when the valid edge multiset is not symmetric.
+
+    ``row``/``col`` are per-SLOT ids ([capacity], padding ignored)."""
+    row = np.asarray(row, np.int64)
+    col = np.asarray(col, np.int64)
+    valid = np.asarray(plan.valid, bool)
+    slots = np.where(valid)[0]
+    if slots.size == 0:
+        return dataclasses.replace(
+            plan, rev_slot=np.arange(plan.capacity, dtype=np.int32))
+    base = int(max(row[slots].max(), col[slots].max())) + 1
+    fwd_key = row[slots] * base + col[slots]
+    rev_key = col[slots] * base + row[slots]
+    of = np.argsort(fwd_key, kind="stable")
+    orv = np.argsort(rev_key, kind="stable")
+    if not np.array_equal(fwd_key[of], rev_key[orv]):
+        return plan                      # multiset not symmetric
+    rev = np.arange(plan.capacity, dtype=np.int32)   # padding -> itself
+    rev[slots[of]] = slots[orv].astype(np.int32)
+    return dataclasses.replace(plan, rev_slot=rev)
 
 
 def make_col_gather(plan: StripePlan, col: jax.Array, out_dtype=None):

@@ -46,10 +46,15 @@ def make_stripe_spmm(g: Graph, plan, payload_dtype=None):
     selector), so each matvec is ONE gather + ONE kernel pass.
 
     Graph edges must already be in plan slot order (build_stripe_engine).
-    Differentiable: the gather through XLA, the scatter via its custom VJP.
+    Differentiable: symmetric edge multisets take the whole-matvec custom
+    VJP (_make_stripe_spmm_sym); otherwise the gather differentiates
+    through XLA/the column plan and the scatter via its own custom VJP.
     """
     from graph_neural_pde_tpu.ops.pallas.stripe import (
         make_col_gather, stripe_scatter_add_weighted)
+
+    if plan.symmetric and plan.rev_slot is not None:
+        return _make_stripe_spmm_sym(g, plan, payload_dtype)
 
     if plan.col_plan is not None:
         # col-plan backward: the dx[col[e]] cotangent scatter rides a static
@@ -65,6 +70,70 @@ def make_stripe_spmm(g: Graph, plan, payload_dtype=None):
         w_m = jnp.where(g.mask, w, 0.0)
         return stripe_scatter_add_weighted(plan, w_m, gather(x))
 
+    return spmm_fn
+
+
+def _make_stripe_spmm_sym(g: Graph, plan, payload_dtype=None):
+    """Whole-matvec custom VJP for SYMMETRIC edge multisets.
+
+    For undirected graphs (reference data.py:90-94 applies to_undirected
+    to every dataset) the transpose matvec IS a forward matvec with the
+    weights statically permuted to the reverse edges:
+
+        dx[n] = Σ_{e: col[e]=n} w[e]·ct[row[e]]
+              = Σ_{e': row[e']=n} w[rev(e')]·ct[col[e']]
+
+    so the backward's dx costs exactly one x[col]-pattern gather + one MXU
+    stripe scatter — no recomputed forward, no [cap, D] permutation gather,
+    no column plan. dw[e] = ct[row[e]]·x[col[e]] adds one MXU row-stripe
+    gather + one re-gather of x[col] + an elementwise dot. Measured on the
+    arxiv-scale Chebyshev solve (perf_probe20/21): the composed per-term
+    backward was 5.1× the forward; this VJP's structural count is ~2.3×.
+
+    Residuals are the INPUTS (x, w) only, so under jax.checkpoint the
+    rematerialised forward is dead code (DCE) — the [cap, D] gather payload
+    is never taped NOR recomputed.
+    """
+    import numpy as np
+
+    from graph_neural_pde_tpu.ops.pallas.stripe import (
+        _stripe_gather_call, _stripe_scatter_w_call)
+
+    rev_np = np.asarray(plan.rev_slot)
+    valid_np = np.asarray(plan.valid, np.float32)
+    col = g.col
+    mask = g.mask
+
+    def _gather(x):
+        xd = x if payload_dtype is None else x.astype(payload_dtype)
+        return xd[col]
+
+    def _primal(x, w):
+        w_m = jnp.where(mask, w, 0.0)
+        return _stripe_scatter_w_call(plan, w_m, _gather(x))
+
+    @jax.custom_vjp
+    def spmm_fn(x, w):
+        return _primal(x, w)
+
+    def _fwd(x, w):
+        return _primal(x, w), (x, w)
+
+    def _bwd(res, ct):
+        x, w = res
+        w_m = jnp.where(mask, w, 0.0)
+        # dx: forward-cost transpose matvec via the reverse-edge weights
+        w_rev = w_m[jnp.asarray(rev_np)]
+        dx = _stripe_scatter_w_call(plan, w_rev, _gather(ct))
+        # dw[e] = ct[row[e]] · x[col[e]] (f32 accumulate over D)
+        g_ct = _stripe_gather_call(plan, ct)        # [cap, D] via MXU
+        x_g = _gather(x)
+        dw = jnp.sum(g_ct.astype(jnp.float32) * x_g.astype(jnp.float32),
+                     axis=1)
+        dw = (dw * jnp.asarray(valid_np)).astype(w.dtype)
+        return dx.astype(x.dtype), dw
+
+    spmm_fn.defvjp(_fwd, _bwd)
     return spmm_fn
 
 
